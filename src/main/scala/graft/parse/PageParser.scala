@@ -1,0 +1,152 @@
+package graft.parse
+
+import graft.core._
+import scala.util.matching.Regex
+
+/** Parsed page: canonical span flow + metadata + outlinks.
+  * flow item kinds: title | body | media | comment (span order — SURVEY §1.5,
+  * mirroring the reference parse order title→body→comments,
+  * /root/reference/crawler/parsers/generic.py:69-115; media spans
+  * interleaved at their discovery position inside the body flow).
+  */
+final case class ParseOut(
+    title: String,
+    author: String,
+    createdAt: Option[java.time.LocalDateTime],
+    viewCount: Int,
+    likeCount: Int,
+    spans: Vector[Span],
+    outlinks: Vector[String])
+
+/** Site-grammar parser registry — the Spark rebuild of the reference's
+  * `ContentParser` ABC + `ParserRegistry` domain dispatch with
+  * generic-parser fallback (/root/reference/crawler/parsers/base.py:16-163,
+  * fallback chain content_crawler.py:180-238). Pure functions over the
+  * synthetic HTML grammar: selector-priority ladders become ordered regex
+  * attempts (first non-empty wins — generic.py:169-177).
+  *
+  * Returns None when title AND body are both empty after the generic
+  * fallback (required-field validation, content_crawler.py:214-230).
+  */
+object PageParser {
+
+  /** grammar tag per host — the registry's domain dispatch. */
+  def grammarFor(host: String): String = graft.fixtures.Fixtures.grammarOf(host)
+
+  def parse(html: String, url: String): Option[ParseOut] = {
+    val host = UrlCanon.host(url)
+    val primary = parseGrammar(html, grammarFor(host))
+    val out = primary match {
+      case Some(p) if p.title.nonEmpty || bodyText(p).nonEmpty => Some(p)
+      case _ =>
+        // fallback to the generic grammar (Requirements 4.4 analogue)
+        parseGrammar(html, "generic").filter(p => p.title.nonEmpty || bodyText(p).nonEmpty)
+    }
+    out
+  }
+
+  def bodyText(p: ParseOut): String =
+    p.spans.collect { case Span("body", t, _, _) => t }.mkString("\n")
+
+  // selector-priority tables per grammar: ordered (regex) attempts
+  private val TitleSel: Map[String, Seq[Regex]] = Map(
+    "inven" -> Seq("""<div class="articleTitle">(.*?)</div>""".r),
+    "ruliweb" -> Seq("""<h1 class="subject_text">(.*?)</h1>""".r),
+    "dcinside" -> Seq("""<span class="title_subject">(.*?)</span>""".r),
+    "generic" -> Seq("""<h1 class="title">(.*?)</h1>""".r, """<title>(.*?)</title>""".r),
+  )
+  private val ContentSel: Map[String, Seq[Regex]] = Map(
+    "inven" -> Seq("""(?s)<div class="articleContent">(.*?)</div>""".r),
+    "ruliweb" -> Seq("""(?s)<div class="view_content">(.*?)</div>""".r),
+    "dcinside" -> Seq("""(?s)<div class="write_div">(.*?)</div>""".r),
+    "generic" -> Seq("""(?s)<div class="post-content">(.*?)</div>""".r),
+  )
+  private val AuthorSel: Map[String, Seq[Regex]] = Map(
+    "inven" -> Seq("""<span class="articleWriter">(.*?)</span>""".r),
+    "ruliweb" -> Seq("""<span class="nick">(.*?)</span>""".r),
+    "dcinside" -> Seq("""<span class="nickname">(.*?)</span>""".r),
+    "generic" -> Seq("""<span class="author">(.*?)</span>""".r),
+  )
+  private val DateSel: Map[String, Seq[Regex]] = Map(
+    "inven" -> Seq("""<span class="articleDate">(.*?)</span>""".r),
+    "ruliweb" -> Seq("""<span class="regdate">(.*?)</span>""".r),
+    "dcinside" -> Seq("""<span class="gall_date">(.*?)</span>""".r),
+    "generic" -> Seq("""<time datetime="(.*?)"""".r),
+  )
+  private val ViewSel: Map[String, Seq[Regex]] = Map(
+    "inven" -> Seq("""<span class="articleHit">(.*?)</span>""".r),
+    "ruliweb" -> Seq("""<span class="hit">(.*?)</span>""".r),
+    "dcinside" -> Seq("""<span class="gall_count">(.*?)</span>""".r),
+    "generic" -> Seq("""<span class="view-count">(.*?)</span>""".r),
+  )
+  private val LikeSel: Map[String, Seq[Regex]] = Map(
+    "inven" -> Seq("""<span class="articleLike">(.*?)</span>""".r),
+    "ruliweb" -> Seq("""<span class="like_value">(.*?)</span>""".r),
+    "dcinside" -> Seq("""<span class="gall_reply_num">(.*?)</span>""".r),
+    "generic" -> Seq("""<span class="like-count">(.*?)</span>""".r),
+  )
+
+  private val PTag = """(?s)<p>(.*?)</p>|<img src="(.*?)">""".r
+  private val CommentBlock = """(?s)<div class="comment">(.*?)</div>""".r
+  private val CAuthor = """<span class="author">(.*?)</span>""".r
+  private val CText = """(?s)<p class="ctext">(.*?)</p>""".r
+  private val CLike = """<span class="clike">(\d+)</span>""".r
+  private val Outlink = """<a href="(.*?)">""".r
+  private val Digits = """\d[\d,]*""".r
+  private val DatePat = """(\d{4})[.\-/](\d{1,2})[.\-/](\d{1,2})(?:[ T](\d{1,2}):(\d{2}))?""".r
+
+  private def firstMatch(html: String, sels: Seq[Regex]): String =
+    sels.iterator.flatMap(_.findFirstMatchIn(html)).map(_.group(1).trim).find(_.nonEmpty).getOrElse("")
+
+  private def extractCount(s: String): Int =
+    Digits.findFirstIn(s).map(_.replace(",", "").toInt).getOrElse(0)
+
+  private def parseDate(s: String): Option[java.time.LocalDateTime] =
+    DatePat.findFirstMatchIn(s).flatMap { m =>
+      try {
+        val (y, mo, d) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+        val hh = Option(m.group(4)).map(_.toInt).getOrElse(0)
+        val mi = Option(m.group(5)).map(_.toInt).getOrElse(0)
+        Some(java.time.LocalDateTime.of(y, mo, d, hh, mi))
+      } catch { case _: Exception => None }
+    }
+
+  private def parseGrammar(html: String, grammar: String): Option[ParseOut] = {
+    val title = firstMatch(html, TitleSel(grammar))
+    val content = ContentSel(grammar).iterator
+      .flatMap(_.findFirstMatchIn(html)).map(_.group(1)).find(_.trim.nonEmpty).getOrElse("")
+    if (title.isEmpty && content.isEmpty) return None
+
+    val spans = Vector.newBuilder[Span]
+    var off = 0
+    def add(kind: String, text: String, ref: String): Unit = { spans += Span(kind, text, ref, off); off += 1 }
+    add("title", title, null)
+    PTag.findAllMatchIn(content).foreach { m =>
+      if (m.group(1) != null) { val t = m.group(1).trim; if (t.nonEmpty) add("body", t, null) }
+      else add("media", null, m.group(2))
+    }
+    // comments follow the body flow in document order
+    val commentRegion = html.substring(html.indexOf(content) match { case -1 => 0; case i => i })
+    val comments = CommentBlock.findAllMatchIn(commentRegion).map(_.group(1)).toVector
+    val parsedComments = comments.flatMap { c =>
+      val text = CText.findFirstMatchIn(c).map(_.group(1).trim).getOrElse("")
+      if (text.isEmpty) None
+      else Some((CAuthor.findFirstMatchIn(c).map(_.group(1)).getOrElse("익명"), text,
+        CLike.findFirstMatchIn(c).map(_.group(1).toInt).getOrElse(0)))
+    }
+    parsedComments.foreach { case (_, text, _) => add("comment", text, null) }
+
+    val author = firstMatch(html, AuthorSel(grammar))
+    val dateStr = firstMatch(html, DateSel(grammar))
+    val outlinks = Outlink.findAllMatchIn(html).map(_.group(1)).toVector
+
+    Some(ParseOut(
+      title = title,
+      author = author,
+      createdAt = parseDate(dateStr),
+      viewCount = extractCount(firstMatch(html, ViewSel(grammar))),
+      likeCount = extractCount(firstMatch(html, LikeSel(grammar))),
+      spans = spans.result(),
+      outlinks = outlinks))
+  }
+}

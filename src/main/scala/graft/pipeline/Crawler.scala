@@ -1,0 +1,367 @@
+package graft.pipeline
+
+import graft.core._
+import graft.fetch.{Fetcher, HostClock, SyntheticFetcher}
+import graft.fixtures.Fixtures
+import graft.frontier.BloomBank
+import graft.parse.PageParser
+import graft.analysis.Relevance
+import graft.snapshot.SnapshotStore
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A frontier candidate before dedup/scheduling. (ord0, ord1) is the
+  * canonical discovery order: (seed seq, 0) in round 0, then
+  * (parent seq, link index) for discovered outlinks.
+  */
+final case class Candidate(url: String, keyword: String, ord0: Long, ord1: Int)
+
+/** Per-host scheduler state, checkpointed each round (SURVEY T2: the
+  * reference RateLimiter's retry/suspension dicts live for the whole crawl
+  * — rate_limiter.py:213-303 — so they must survive round boundaries).
+  */
+final case class HostState(host: String, retryCount: Int, suspended: Boolean, virtualTime: Double)
+
+/** Frontier entry enriched with its host's checkpointed scheduler state. */
+final case class FrontierWithState(
+    round: Int, seq: Long, url: String, canonUrl: String, host: String, keyword: String,
+    initRetry: Int, initSusp: Boolean, initVt: Double)
+
+/** Output of the fused fetch+parse stage for one frontier entry. */
+final case class FetchParseRow(
+    round: Int,
+    seq: Long,
+    url: String,
+    canonUrl: String,
+    host: String,
+    keyword: String,
+    status: String, // fetched | fetch_failed | parse_failed | suspended
+    attempts: Int,
+    title: String,
+    author: String,
+    created_at: java.sql.Timestamp,
+    view_count: Int,
+    like_count: Int,
+    spans: Seq[Span],
+    outlinks: Seq[String],
+    partitionId: Int)
+
+/** The Spark-native crawl engine (BASELINE.json north rule): URL frontier +
+  * fetch scheduler over snapshot-versioned span-document tables.
+  *
+  * Per round (the reference's search→dedup→fetch spine,
+  * /root/reference/crawler/orchestrator.py:205-257, re-expressed as one
+  * declarative plan per stage):
+  *
+  *   candidates (seeds ∪ discovered outlinks, canonical (ord0, ord1) order)
+  *     → canonicalize (url_deduplicator.py:14-37 semantics)
+  *     → relevance filter, round 0 only (manager.py:176-203, θ=0.5)
+  *     → robots disallow filter (north-rule budget)
+  *     → within-round first-wins dedup (window by canon, order by discovery)
+  *     → cross-round dedup: bloom PRE-filter (partitioned bank, broadcast)
+  *       + exact left-anti join vs the seen table (false positives re-checked,
+  *       never dropped — SURVEY §7.4.3)
+  *     → global sequence assignment (scalable two-pass: range partition +
+  *       per-partition row_number + offset cumsum — no single-partition window)
+  *     → politeness schedule: repartition by (host, salt lane) hash,
+  *       sortWithinPartitions(seq), paced per-host virtual clocks inside one
+  *       mapPartitions running the RateLimiter state machine
+  *       (rate_limiter.py: 3 s default / robots crawl-delay, 2^n backoff,
+  *       suspension after max_retries, reset on success)
+  *     → fused fetch+parse (parser registry w/ generic fallback,
+  *       content_crawler.py:180-238) emitting interleaved span docs
+  *     → snapshot commit: docs ∪ crawl_log ∪ seen ∪ metrics + bloom bank,
+  *       atomic manifest (resumable; partial rounds invisible).
+  *
+  * Scale design notes (100 TB / 10^10-URL frontier):
+  *   - the only global ordering is the seq assignment, done without a
+  *     global sort collapse (range shuffle + tiny offset map);
+  *   - dedup joins shuffle on canon-url hash; the bloom pre-filter removes
+  *     the (vastly dominant at steady state) already-seen candidates before
+  *     the join, so the anti-join's build side is only the maybe-seen set;
+  *   - fetch partitions are keyed by host (optionally salted for hot hosts,
+  *     each lane pacing at delay×saltFactor to preserve the per-host
+  *     budget), so per-host politeness state never crosses executors;
+  *   - AQE stays on for skew-join splitting; crawl-order parity is a sort
+  *     key, not a scheduling constraint (SURVEY §7.4.1).
+  */
+final class Crawler(
+    spark: SparkSession,
+    config: CrawlConfig,
+    storeRoot: String,
+    fetcher: Fetcher = SyntheticFetcher) extends Serializable {
+
+  import spark.implicits._
+
+  val store = new SnapshotStore(storeRoot)
+
+  private val robotsB = spark.sparkContext.broadcast(Fixtures.robotsMap)
+  private val cfgB = spark.sparkContext.broadcast(config)
+
+  // ---- pure column helpers (UDF-wrapped pure Scala; candidates are tiny
+  //      relative to fetch cost, and canonicalization is regex-free) ------
+  private val canonU = udf((u: String) => UrlCanon.canonicalize(u))
+  private val hostU = udf((u: String) => UrlCanon.host(u))
+  private val disallowedU = {
+    val rb = robotsB
+    udf((canon: String) => {
+      val h = UrlCanon.host(canon); val p = UrlCanon.path(canon)
+      rb.value.get(h).exists(_.disallow.exists(p.startsWith))
+    })
+  }
+
+  /** Entry: run all rounds (resuming from the last committed round). */
+  def run(seeds: Dataset[SeedRecord]): Unit = {
+    val resumeFrom = store.latestRound().map(_ + 1).getOrElse(0)
+    var round = resumeFrom
+    var candidates: Dataset[Candidate] =
+      if (round == 0) seedCandidates(seeds)
+      else candidatesFromStore(round)
+    while (round < config.maxRounds && !candidates.isEmpty) {
+      candidates = runRound(round, candidates)
+      round += 1
+    }
+  }
+
+  /** Round-0 candidates: relevance-scored seeds (threshold filter before
+    * dedup, as the reference does inside search — manager.py:176-203).
+    */
+  def seedCandidates(seeds: Dataset[SeedRecord]): Dataset[Candidate] = {
+    val thr = config.relevanceThreshold
+    val scoreU = udf((snippet: String, kw: String, title: String) =>
+      Relevance.score(snippet, Seq(kw), title))
+    seeds
+      .withColumn("relevance_score", scoreU($"snippet", $"keyword", $"title"))
+      .filter($"relevance_score" >= lit(thr))
+      .select($"url", $"keyword", $"seq".as("ord0"), lit(0).as("ord1"))
+      .as[Candidate]
+  }
+
+  /** Rebuild the next round's candidates from committed docs (resume path):
+    * outlinks of the latest committed round's docs.
+    */
+  private def candidatesFromStore(round: Int): Dataset[Candidate] = {
+    store.read(spark, "docs").map { docs =>
+      docs.filter($"round" === (round - 1))
+        .select($"seq".as("ord0"), posexplode($"outlinks").as(Seq("ord1", "url")), $"keyword")
+        .select($"url", $"keyword", $"ord0", $"ord1".cast("int"))
+        .as[Candidate]
+    }.getOrElse(spark.emptyDataset[Candidate])
+  }
+
+  /** One crawl round; returns the next round's candidates. */
+  def runRound(round: Int, candidates: Dataset[Candidate]): Dataset[Candidate] = {
+    val cands = candidates.toDF()
+      .withColumn("canon", canonU($"url"))
+      .filter(!disallowedU($"canon"))
+
+    // within-round first-wins dedup on canonical URL (W4): keep the
+    // earliest discovery (url_deduplicator.py:40-62 keeps the original URL)
+    val wDedup = Window.partitionBy($"canon").orderBy($"ord0", $"ord1")
+    val roundUnique = cands
+      .withColumn("rn", row_number().over(wDedup))
+      .filter($"rn" === 1).drop("rn")
+
+    // cross-round dedup: bloom pre-filter + exact anti-join (U5)
+    val fresh = antiJoinSeen(round, roundUnique)
+
+    // global sequence assignment, continuing from prior rounds
+    val seqStart = store.read(spark, "seen").map(_.count()).getOrElse(0L)
+    val sequenced = Sequencer.addSeq(fresh, Seq(col("ord0"), col("ord1")), "seq", seqStart)
+      .withColumn("host", hostU($"canon"))
+
+    val frontier = sequenced.select(
+      lit(round).as("round"), $"seq", $"url", $"canon".as("canonUrl"), $"host", $"keyword")
+      .as[FrontierEntry]
+
+    // politeness-scheduled fused fetch+parse (host scheduler state carried
+    // over from the previous round's checkpoint)
+    val outcome = fetchParse(round, frontier).persist()
+    val results = outcome.flatMap(o => Option(o._1)).persist()
+    val hostStates = outcome.flatMap(o => Option(o._2))
+
+    // next-round candidates: outlinks in (parent seq, link idx) order,
+    // inheriting the parent's keyword (orchestrator.py:222-223 analogue)
+    val next = results
+      .filter($"status" === "fetched")
+      .select($"seq".as("ord0"), $"keyword", posexplode($"outlinks").as(Seq("ord1", "url")))
+      .select($"url", $"keyword", $"ord0", $"ord1".cast("int"))
+      .as[Candidate]
+
+    commitRound(round, frontier, results, hostStates)
+    val materializedNext = next.persist()
+    materializedNext.count()
+    results.unpersist()
+    outcome.unpersist()
+    materializedNext
+  }
+
+  /** Bloom pre-filter (broadcast bank) + exact left-anti join against the
+    * seen table. mightContain=false short-circuits the join entirely.
+    */
+  private def antiJoinSeen(round: Int, cands: DataFrame): DataFrame = {
+    val bankOpt = store.latestRound().flatMap(r => BloomBank.load(store.bloomPath(r)))
+    (bankOpt, store.read(spark, "seen")) match {
+      case (Some(bank), Some(seen)) =>
+        val bankB = spark.sparkContext.broadcast(bank)
+        val mightU = udf((canon: String) => bankB.value.mightContain(canon))
+        val flagged = cands.withColumn("maybe_seen", mightU($"canon")).persist()
+        val definitelyNew = flagged.filter(!$"maybe_seen")
+        val confirmed = flagged.filter($"maybe_seen")
+          .join(seen.select($"canonUrl".as("canon")), Seq("canon"), "left_anti")
+        definitelyNew.unionByName(confirmed).drop("maybe_seen")
+      case _ => cands // no committed rounds yet
+    }
+  }
+
+  /** Host-partitioned, virtually-paced fetch + parse (T1/T2 semantics).
+    * Emits the fetch results AND, after each partition drains, the final
+    * per-host scheduler states (retry count / suspension / virtual clock)
+    * for the round's checkpoint — exactly-once state via the atomic
+    * manifest commit.
+    */
+  def fetchParse(round: Int, frontier: Dataset[FrontierEntry])
+      : Dataset[(FetchParseRow, HostState)] = {
+    val p = math.max(spark.sparkContext.defaultParallelism, config.seenPartitions)
+    val salt = config.saltFactor
+    val saltCol =
+      if (salt <= 1) lit(0)
+      else pmod(xxhash64($"canonUrl"), lit(salt)).cast("int")
+
+    // carry over checkpointed per-host scheduler state (join, not broadcast
+    // of a global map — the host-state table scales with #hosts)
+    val priorState: DataFrame = store.latestRound()
+      .filter(r => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store.tablePath("host_state", r))))
+      .map(r => spark.read.parquet(store.tablePath("host_state", r)))
+      .getOrElse(spark.emptyDataset[HostState].toDF())
+      .select($"host", $"retryCount".as("initRetry"), $"suspended".as("initSusp"),
+        $"virtualTime".as("initVt"))
+
+    val parted = frontier.toDF()
+      .join(broadcastIfSmall(priorState), Seq("host"), "left")
+      .na.fill(Map("initRetry" -> 0, "initVt" -> 0.0)).na.fill(false, Seq("initSusp"))
+      .withColumn("lane", saltCol)
+      .repartition(p, $"host", $"lane")
+      .sortWithinPartitions($"seq")
+      .select($"round", $"seq", $"url", $"canonUrl", $"host", $"keyword",
+        $"initRetry", $"initSusp", $"initVt")
+      .as[FrontierWithState]
+
+    val rb = robotsB; val cb = cfgB; val f = fetcher; val r = round
+    parted.mapPartitions { it =>
+      val cfg = cb.value
+      val robots = rb.value
+      val clocks = scala.collection.mutable.LinkedHashMap.empty[String, HostClock]
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val mapped = it.map { e =>
+        val delay = robots.get(e.host).map(_.crawlDelay).getOrElse(cfg.defaultDelay) *
+          math.max(1, cfg.saltFactor)
+        val clock = clocks.getOrElseUpdate(e.host, {
+          val c = new HostClock(delay, cfg.maxRetries)
+          c.retryCount = e.initRetry; c.suspended = e.initSusp; c.virtualTime = e.initVt
+          c
+        })
+        val (status, attempts, html) = clock.fetchOne(f, e.canonUrl)
+        val row = if (status == "fetched") {
+          PageParser.parse(html, e.canonUrl) match {
+            case Some(parsed) =>
+              FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "fetched",
+                attempts, parsed.title, parsed.author,
+                parsed.createdAt.map(java.sql.Timestamp.valueOf).orNull,
+                parsed.viewCount, parsed.likeCount, parsed.spans, parsed.outlinks, pid)
+            case None =>
+              FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "parse_failed",
+                attempts, "", "", null, 0, 0, Seq.empty, Seq.empty, pid)
+          }
+        } else {
+          FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, status, attempts,
+            "", "", null, 0, 0, Seq.empty, Seq.empty, pid)
+        }
+        (row, null.asInstanceOf[HostState])
+      }
+      // trailing state rows, materialized lazily after the partition drains
+      mapped ++ clocks.iterator.map { case (host, c) =>
+        (null.asInstanceOf[FetchParseRow], HostState(host, c.retryCount, c.suspended, c.virtualTime))
+      }
+    }
+  }
+
+  /** Broadcast-hint small dimension sides (host-state starts tiny). */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Atomic snapshot commit of the round's five tables + bloom bank. */
+  private def commitRound(round: Int, frontier: Dataset[FrontierEntry],
+      results: Dataset[FetchParseRow], hostStates: Dataset[HostState]): Unit = {
+    val docs = results.filter($"status" === "fetched")
+      .select($"round", $"seq", $"canonUrl".as("doc_id"), $"url", $"host".as("site"),
+        $"keyword", $"title", $"author", $"created_at", $"view_count", $"like_count",
+        $"spans", $"outlinks")
+    val crawlLog = results.select($"round", $"seq", $"url", $"canonUrl", $"host",
+      $"status", $"attempts")
+    val seen = frontier.select($"round", $"seq", $"canonUrl", $"host")
+    val metrics = results.groupBy($"partitionId").agg(
+      lit(round).as("round"),
+      countDistinct($"host").as("hosts"),
+      sum(when($"status" === "fetched", 1L).otherwise(0L)).as("fetched"),
+      sum(when($"status" =!= "fetched", 1L).otherwise(0L)).as("failed"))
+
+    // cumulative host scheduler state: this round's final states win;
+    // untouched hosts keep their previous checkpointed row
+    val prior = store.latestRound()
+      .filter(r => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store.tablePath("host_state", r))))
+      .map(r => spark.read.parquet(store.tablePath("host_state", r)))
+    val newState = hostStates.toDF()
+    val mergedState = prior match {
+      case Some(old) => old.join(newState.select("host"), Seq("host"), "left_anti")
+        .unionByName(newState)
+      case None => newState
+    }
+
+    store.commit(round, Map(
+      "docs" -> docs, "crawl_log" -> crawlLog, "seen" -> seen, "metrics" -> metrics,
+      "host_state" -> mergedState))
+
+    // fold this round's seen urls into the bloom bank (lossless OR-merge)
+    val newBank = BloomBank.build(
+      spark.read.parquet(store.tablePath("seen", round)).select($"canonUrl".as("canon")),
+      "canon", config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp)
+    val merged = (0 until round).reverse.collectFirst {
+      case r if java.nio.file.Files.exists(java.nio.file.Paths.get(store.bloomPath(r))) =>
+        BloomBank.load(store.bloomPath(r)).get
+    } match {
+      case Some(old) => old.merge(newBank)
+      case None      => newBank
+    }
+    merged.save(store.bloomPath(round))
+  }
+}
+
+/** Scalable contiguous sequence assignment: avoids a single-partition
+  * global window. Range-partition + sort by the order key, number rows
+  * within each partition, then add per-partition offsets computed from the
+  * (tiny, collected) partition counts. Equivalent to RDD zipWithIndex but
+  * stays in the DataFrame API.
+  */
+object Sequencer {
+  def addSeq(df: DataFrame, orderCols: Seq[Column], out: String, start: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = parted.groupBy($"__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsetOf = counts.map(_._1).zip(
+      counts.scanLeft(start) { case (acc, (_, n)) => acc + n }.dropRight(1)).toMap
+    val offU = udf((pid: Int) => offsetOf(pid))
+    val w = Window.partitionBy($"__pid").orderBy(orderCols: _*)
+    parted
+      .withColumn("__rn", row_number().over(w))
+      .withColumn(out, offU($"__pid") + $"__rn" - 1)
+      .drop("__pid", "__rn")
+  }
+}

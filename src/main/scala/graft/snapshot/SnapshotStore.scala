@@ -1,0 +1,70 @@
+package graft.snapshot
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal snapshot-versioned table layer over Parquet with Iceberg-like
+  * commit semantics (no Iceberg runtime jar exists offline — SURVEY §7.0).
+  *
+  * Layout under `root`:
+  *   data/<table>/round=<r>/part-*.parquet     (immutable per-round data)
+  *   blooms/seen-<r>.bloom                     (seen-set bloom bank)
+  *   _manifests/manifest-<r>.json              (the commit record)
+  *
+  * A round is COMMITTED iff its manifest file exists; the manifest is
+  * written to a temp name and atomically renamed, so readers never observe
+  * a partial round (the reference's analogue is timestamped analysis
+  * snapshots with latest-by-name reads,
+  * /root/reference/crawler/exporters/analysis_store.py:60-130). Atomic
+  * rename holds on local FS / HDFS; an object-store deployment would swap
+  * in a conditional-put committer behind this same interface.
+  *
+  * Readers union only committed rounds → time-travel = pass maxRound.
+  * Resume = max committed round + 1 (north-rule resumable checkpoints).
+  */
+final class SnapshotStore(val root: String) {
+
+  private def manifestDir = Paths.get(root, "_manifests")
+  private def manifestPath(round: Int) = manifestDir.resolve(f"manifest-$round%06d.json")
+  def tablePath(table: String, round: Int): String = s"$root/data/$table/round=$round"
+  def bloomPath(round: Int): String = s"$root/blooms/seen-$round.bloom"
+
+  def committedRounds(): Seq[Int] = {
+    if (!Files.exists(manifestDir)) return Seq.empty
+    Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
+        s.stripPrefix("manifest-").stripSuffix(".json").toInt }
+      .toSeq.sorted
+  }
+
+  def latestRound(): Option[Int] = committedRounds().lastOption
+
+  /** Write each table's round partition, then atomically commit the
+    * manifest referencing all of them (all-or-nothing across tables —
+    * SURVEY §7.4.5).
+    */
+  def commit(round: Int, tables: Map[String, DataFrame], metricsJson: String = "{}"): Unit = {
+    val counts = tables.map { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(tablePath(name, round))
+      name -> df.sparkSession.read.parquet(tablePath(name, round)).count()
+    }
+    val entries = tables.keys.map { name =>
+      s""""$name":{"path":"${tablePath(name, round)}","rows":${counts(name)}}"""
+    }.mkString(",")
+    val json = s"""{"round":$round,"committed_at_round":$round,"tables":{$entries},"metrics":$metricsJson}"""
+    Files.createDirectories(manifestDir)
+    val tmp = manifestDir.resolve(s".manifest-$round.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(round), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Union of a table across committed rounds ≤ maxRound (time travel). */
+  def read(spark: SparkSession, table: String, maxRound: Int = Int.MaxValue): Option[DataFrame] = {
+    val rounds = committedRounds().filter(_ <= maxRound)
+      .filter(r => Files.exists(Paths.get(tablePath(table, r))))
+    if (rounds.isEmpty) None
+    else Some(rounds.map(r => spark.read.parquet(tablePath(table, r))).reduce(_.unionByName(_)))
+  }
+}

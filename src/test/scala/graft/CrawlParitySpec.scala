@@ -1,0 +1,113 @@
+package graft
+
+import graft.core._
+import graft.fixtures.Fixtures
+import graft.oracle.SequentialOracle
+import graft.pipeline.Crawler
+import org.apache.spark.sql.functions._
+
+/** THE north-rule correctness gate (BASELINE.json): the Spark pipeline's
+  * committed crawl-order log, URL-seen set, and interleaved span-doc table
+  * must exactly equal the sequential oracle replaying the reference
+  * crawler's semantics over the same fixtures — crawl order as the
+  * deterministic (round, seq) sort key, first-wins dedup, per-domain
+  * backoff/suspension state, parser fallback, robots budget. Jitter is
+  * disabled in parity mode (precedent: rate_limiter.py:107-114).
+  */
+class CrawlParitySpec extends SparkSpec {
+
+  val config: CrawlConfig = CrawlConfig(
+    maxRounds = 2,
+    seenPartitions = 8,
+    bloomExpectedPerPartition = 100000L)
+
+  lazy val seeds: IndexedSeq[SeedRecord] = Fixtures.seeds(600)
+  lazy val oracle: SequentialOracle.OracleResult = SequentialOracle.run(seeds, config)
+
+  lazy val storeRoot: String = {
+    val dir = tempDir("graft-parity")
+    import spark.implicits._
+    val crawler = new Crawler(spark, config, dir)
+    crawler.run(spark.createDataset(seeds))
+    dir
+  }
+
+  test("fixture sanity: dups, faults, multiple hosts present") {
+    val canon = seeds.map(s => UrlCanon.canonicalize(s.url))
+    assert(canon.distinct.size < canon.size, "expected duplicate seeds")
+    assert(oracle.crawlLog.exists(_.status == "fetch_failed"), "expected fetch failures")
+    assert(oracle.crawlLog.map(_.host).distinct.size > 5)
+    assert(oracle.docs.nonEmpty)
+  }
+
+  test("crawl-order log parity (round, seq, url, canon, host, status, attempts)") {
+    import spark.implicits._
+    val got = spark.read.parquet(s"$storeRoot/data/crawl_log/round=0", s"$storeRoot/data/crawl_log/round=1")
+      .orderBy("seq")
+      .as[CrawlLogEntry].collect().toVector
+    assert(got.size == oracle.crawlLog.size,
+      s"log size ${got.size} vs oracle ${oracle.crawlLog.size}")
+    got.zip(oracle.crawlLog.sortBy(_.seq)).foreach { case (g, o) =>
+      assert(g == o, s"mismatch at seq ${o.seq}")
+    }
+  }
+
+  test("URL-seen set parity, including schedule order") {
+    import spark.implicits._
+    val got = spark.read.parquet(s"$storeRoot/data/seen/round=0", s"$storeRoot/data/seen/round=1")
+      .orderBy("seq").select("canonUrl").as[String].collect().toVector
+    assert(got == oracle.seen)
+  }
+
+  test("per-row span-sequence parity (kind, text, media_ref, order)") {
+    import spark.implicits._
+    val got = spark.read.parquet(s"$storeRoot/data/docs/round=0", s"$storeRoot/data/docs/round=1")
+      .select($"doc_id", $"spans").as[Doc].collect()
+      .map(d => d.doc_id -> d.spans.toVector).toMap
+    val want = oracle.docs.map(d => d.doc.doc_id -> d.doc.spans.toVector).toMap
+    assert(got.keySet == want.keySet,
+      s"doc ids differ: extra=${(got.keySet -- want.keySet).take(3)} missing=${(want.keySet -- got.keySet).take(3)}")
+    want.foreach { case (id, spans) =>
+      assert(got(id) == spans, s"span mismatch for $id")
+    }
+    // media spans exist and are interleaved (not all trailing)
+    val withMedia = want.values.filter(_.exists(_.kind == "media"))
+    assert(withMedia.nonEmpty, "expected media spans in corpus")
+    assert(withMedia.exists { spans =>
+      val kinds = spans.map(_.kind)
+      kinds.indexOf("media") < kinds.lastIndexOf("body")
+    }, "expected at least one media span interleaved before a body span")
+  }
+
+  test("suspension path exercised and matches") {
+    val oSusp = oracle.crawlLog.filter(_.status == "suspended")
+    assert(oSusp.nonEmpty, "fixtures should trigger at least one domain suspension")
+  }
+
+  test("resume from checkpoint: stopping after round 0 and resuming matches the full run") {
+    import spark.implicits._
+    val dir = tempDir("graft-resume")
+    val c1 = new Crawler(spark, config.copy(maxRounds = 1), dir)
+    c1.run(spark.createDataset(seeds))
+    assert(new graft.snapshot.SnapshotStore(dir).latestRound().contains(0))
+    // resume with full round budget — must pick up at round 1
+    val c2 = new Crawler(spark, config, dir)
+    c2.run(spark.createDataset(seeds))
+    val got = spark.read.parquet(s"$dir/data/crawl_log/round=0", s"$dir/data/crawl_log/round=1")
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    assert(got == oracle.crawlLog.sortBy(_.seq))
+  }
+
+  test("bloom bank: no false negatives; pre-filter admits all seen urls") {
+    val store = new graft.snapshot.SnapshotStore(storeRoot)
+    val bank = graft.frontier.BloomBank.load(store.bloomPath(1)).get
+    oracle.seen.foreach { u => assert(bank.mightContain(u), s"bloom false negative: $u") }
+  }
+
+  test("metrics committed per partition per round") {
+    val m = spark.read.parquet(s"$storeRoot/data/metrics/round=0", s"$storeRoot/data/metrics/round=1")
+    assert(m.count() > 0)
+    val fetched = m.agg(sum("fetched")).head().getLong(0)
+    assert(fetched == oracle.crawlLog.count(_.status == "fetched"))
+  }
+}
