@@ -1,0 +1,134 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexicon sentiment scoring with the exact semantics of the reference's
+  * SentimentAnalyzer (/root/reference/crawler/analysis/sentiment.py):
+  *
+  *   - preprocess: lowercase, collapse whitespace, trim (:74-92);
+  *   - score = (pos − neg) / (pos + neg) over NON-OVERLAPPING substring
+  *     counts of the lexicon terms (Python str.count — :94-130), clamped
+  *     to [−1, 1]; 0.0 when no hits;
+  *   - label: > 0.1 positive, < −0.1 negative, else neutral (:132-146);
+  *   - confidence = min(1, 0.5 + hits / wordCount · 0.5) (:148-179);
+  *   - post score = analyze(title + " " + title + " " + body) — title ×2
+  *     weight (:212-228);
+  *   - post+comments = 0.7·post + 0.3·mean(comment scores), re-clamped
+  *     (:249-287).
+  *
+  * The lexicon is injectable (the reference loads
+  * lexicon/{positive,negative}.txt); the default below covers the synthetic
+  * fixture vocabulary. O(|lexicon|·|text|) scan mirrors the reference; at
+  * corpus scale the scorer runs once per document inside a single
+  * projection, with the lexicon broadcast via closure capture.
+  */
+object Sentiment {
+
+  /** Default lexicon spanning the fixture corpus vocabulary (FIXTURES.md §4)
+    * plus common variants — same shape as the reference's word files.
+    */
+  val PositiveLexicon: Set[String] = Set(
+    "좋다", "좋아", "좋네", "좋은", "재밌다", "재밌어", "재미있", "최고", "추천",
+    "행복", "감사", "멋지다", "멋져", "갓겜", "꿀잼", "사랑", "완벽",
+    "fun", "great", "good", "awesome", "amazing", "love", "best")
+  val NegativeLexicon: Set[String] = Set(
+    "나쁘다", "나빠", "최악", "실망", "짜증", "화나다", "화나", "망겜", "불편",
+    "느리다", "느려", "별로", "노잼", "싫다", "쓰레기",
+    "버그", "오류", "에러", "크래시", "튕김", "렉",
+    "bad", "awful", "terrible", "worst", "hate", "bug", "error", "crash", "lag")
+
+  def preprocess(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    text.toLowerCase.replaceAll("\\s+", " ").trim
+  }
+
+  private def hits(processed: String, lexicon: Set[String]): Int =
+    lexicon.iterator.map(w => Relevance.countOccurrences(processed, w)).sum
+
+  def score(text: String,
+      pos: Set[String] = PositiveLexicon, neg: Set[String] = NegativeLexicon): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val p = preprocess(text)
+    val (np, nn) = (hits(p, pos), hits(p, neg))
+    if (np + nn == 0) 0.0
+    else math.max(-1.0, math.min(1.0, (np - nn).toDouble / (np + nn)))
+  }
+
+  def label(score: Double): String =
+    if (score > 0.1) "positive" else if (score < -0.1) "negative" else "neutral"
+
+  def confidence(text: String,
+      pos: Set[String] = PositiveLexicon, neg: Set[String] = NegativeLexicon): Double = {
+    if (text == null || text.isEmpty) return 0.5
+    val p = preprocess(text)
+    val n = hits(p, pos) + hits(p, neg)
+    val words = p.split(" ").count(_.nonEmpty)
+    if (words == 0) 0.5 else math.min(1.0, 0.5 + (n.toDouble / words) * 0.5)
+  }
+
+  /** Post-level score: title weighted 2× (sentiment.py:212-228). */
+  def postScore(title: String, body: String): Double =
+    score(s"${nz(title)} ${nz(title)} ${nz(body)}")
+
+  def postConfidence(title: String, body: String): Double =
+    confidence(s"${nz(title)} ${nz(title)} ${nz(body)}")
+
+  /** Post + comments blend 0.7/0.3 (sentiment.py:249-287). */
+  def postWithCommentsScore(title: String, body: String, comments: Seq[String]): Double = {
+    val ps = postScore(title, body)
+    if (comments == null || comments.isEmpty) ps
+    else {
+      val ca = comments.map(score(_)).sum / comments.size
+      math.max(-1.0, math.min(1.0, ps * 0.7 + ca * 0.3))
+    }
+  }
+
+  private def nz(s: String): String = if (s == null) "" else s
+
+  // ---- Spark column layer ------------------------------------------------
+
+  /** Extract the reference's (title, body, comments) view from the span
+    * table using pure Catalyst expressions (no UDF): body = body spans
+    * joined by \n, comments = comment span texts in order.
+    */
+  def titleCol(spans: Column): Column =
+    coalesce(element_at(expr("filter(spans, s -> s.kind = 'title')"), 1)("text"), lit(""))
+  val bodyCol: Column =
+    array_join(expr("transform(filter(spans, s -> s.kind = 'body'), s -> s.text)"), "\n")
+  val commentsCol: Column =
+    expr("transform(filter(spans, s -> s.kind = 'comment'), s -> s.text)")
+
+  private val postScoreU = udf((t: String, b: String) => postScore(t, b))
+  private val postConfU = udf((t: String, b: String) => postConfidence(t, b))
+  private val blendedU = udf((t: String, b: String, c: Seq[String]) =>
+    postWithCommentsScore(t, b, c))
+
+  /** Adds sentiment struct (score/label/confidence on analyze_post
+    * semantics) + blended post+comments score to a docs DataFrame that has
+    * `title` and `spans` columns.
+    */
+  def withSentiment(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("body", bodyCol)
+      .withColumn("comment_texts", commentsCol)
+      .withColumn("sentiment_score", postScoreU(col("title"), col("body")))
+      .withColumn("sentiment_label",
+        when(col("sentiment_score") > 0.1, "positive")
+          .when(col("sentiment_score") < -0.1, "negative")
+          .otherwise("neutral"))
+      .withColumn("sentiment_confidence", postConfU(col("title"), col("body")))
+      .withColumn("sentiment_blended",
+        blendedU(col("title"), col("body"), col("comment_texts")))
+  }
+
+  /** A2: label distribution. */
+  def distribution(scored: DataFrame): DataFrame =
+    scored.groupBy(col("sentiment_label").as("label")).count()
+
+  /** A3: corpus average of the post score. */
+  def average(scored: DataFrame): Double = {
+    val r = scored.agg(avg(col("sentiment_score"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+}
