@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR (count() as the action), plus a crawl-engine
+  * throughput section (N seeds through the full frontier pipeline at this
+  * JVM's parallelism). Prints ONE JSON line.
+  *
+  * Cross-parallelism scaling (the north rule's N→4N evidence) is measured
+  * by graft.tools.ScalingBench (local[8] vs local[32] in one JVM) and
+  * recorded in BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    import spark.implicits._
+
+    // warm the session (JIT + codegen + parquet footer caches)
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // crawl-engine throughput: distributed bench frontier, 2 rounds
+    val nSeeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "200000").toLong
+    val store = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val seeds = spark.range(nSeeds)
+      .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 200000, nHosts = 1024))
+    val cfg = graft.core.CrawlConfig(maxRounds = 2, seenPartitions = cpus.toInt,
+      saltFactor = 8, bloomExpectedPerPartition = 2000000L)
+    val t0 = System.nanoTime()
+    new graft.pipeline.Crawler(spark, cfg, store).run(seeds)
+    val crawlSec = (System.nanoTime() - t0) / 1e9
+    val scheduled = new graft.snapshot.SnapshotStore(store)
+      .read(spark, "crawl_log").map(_.count()).getOrElse(0L)
+    val urlsPerSec = scheduled / crawlSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"urls_fetched_deduped_per_sec","value":$urlsPerSec,"unit":"urls/sec",""" +
+      f""""crawl_seconds":$crawlSec%.2f,"crawl_urls":$scheduled,"crawl_seeds":$nSeeds,""" +
+      f""""queries_total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir","cores":$cpus}""")
     spark.stop()
   }
 }

@@ -1,13 +1,562 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers the SURVEY §2 operator inventory (scans, filters,
+  * joins, aggregations, windows, sorts, set ops, scalar functions) plus
+  * the training-data pipeline operators (dedup family, similarity search,
+  * text analysis, multimodal plumbing) over the driver-provided testdata
+  * tables. Each SQL-expressible query has a DuckDB oracle in `oracleSql`
+  * with IDENTICAL column names and a deterministic total ORDER BY; float
+  * aggregates are rounded on both sides. Non-SQL-expressible ops (LSH
+  * pairs, simhash, ANN, crawl spans, media stubs) are registered without
+  * an oracle → rows-only check.
+  */
 object SparkEntry {
+
+  private def rt(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregations (A2/A3/A6) -----------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      rt(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_discount")), 4).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- join + filter + top-k (J1/O3) -----------------------------------
+    "q02_top_orders" -> ((s, d) => {
+      val o = rt(s, d, "orders"); val c = rt(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- semi / anti joins (J4/U5) ----------------------------------------
+    "q03_customers_with_orders" -> ((s, d) => {
+      rt(s, d, "customer")
+        .join(rt(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q04_customers_without_orders" -> ((s, d) => {
+      rt(s, d, "customer")
+        .join(rt(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- windows (W2/W3/W1) ------------------------------------------------
+    "q05_top3_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rt(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"), col("o_orderkey"))
+    }),
+    "q06_daily_revenue_delta" -> ((s, d) => {
+      val daily = rt(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("delta", round(col("revenue") - col("prev_revenue"), 2))
+        .orderBy(col("day"))
+    }),
+    "q07_hot_decile_orders" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val n = Window.partitionBy()
+      rt(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("is_hot", col("rn") <= greatest(lit(1L), floor(count(lit(1)).over(n) / 10)))
+        .filter(col("is_hot"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- time buckets / trends (A8/T6/F17) ---------------------------------
+    "q08_weekly_order_trend" -> ((s, d) => {
+      rt(s, d, "orders")
+        .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("week"))
+    }),
+    "q13_orders_per_day" -> ((s, d) => {
+      rt(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("day"))
+    }),
+    "q22_events_hourly" -> ((s, d) => {
+      rt(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- set ops / conditional agg / distinct (U1/A11/A12) ------------------
+    "q09_nation_union" -> ((s, d) => {
+      rt(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(rt(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    }),
+    "q10_status_breakdown" -> ((s, d) => {
+      rt(s, d, "orders").agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+    }),
+    "q11_distinct_orders_per_flag" -> ((s, d) => {
+      rt(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- scalar functions / projections (F6/O9) ------------------------------
+    "q12_part_strings" -> ((s, d) => {
+      rt(s, d, "part")
+        .select(col("p_partkey"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          lower(col("p_brand")).as("brand_lc"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+        .limit(100)
+    }),
+    "q14_orders_page3" -> ((s, d) => {
+      // O5: offset 20 limit 10 via row_number (no native DF offset)
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rt(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 20 && col("rn") <= 30)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- crawler-semantics operators on testdata (P1/P2/P3/F10/P12/A1) ------
+    "q15_url_canon" -> ((s, d) => {
+      // native Catalyst expression (codegen), not a UDF
+      rt(s, d, "customer")
+        .select(col("c_custkey"),
+          graft.functions.functions.canon_url(
+            concat(lit("HTTPS://Shop.Example.COM/cust/"),
+              col("c_custkey"), lit("/?ref=X#frag"))).as("canon_url"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q16_first_wins_dedup" -> ((s, d) => {
+      // P2/W4: first-wins dedup per key, expressed as the window the
+      // pipeline uses (min orderkey = first occurrence here)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      rt(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q17_relevance_score" -> ((s, d) => {
+      val scoreU = udf((text: String) =>
+        graft.analysis.Relevance.score(text, Seq("spark", "data"), ""))
+      rt(s, d, "documents")
+        .select(col("doc_id"), round(scoreU(col("text")), 9).as("relevance"))
+        .orderBy(col("doc_id"))
+    }),
+    "q18_sentiment_lexicon" -> ((s, d) => {
+      // F10 semantics with a 4-term lexicon: non-overlapping counts,
+      // (p-n)/(p+n), ±0.1 label thresholds
+      val scoreU = udf((text: String) => {
+        val t = graft.analysis.Sentiment.preprocess(text)
+        val p = Seq("fast", "good").map(graft.analysis.Relevance.countOccurrences(t, _)).sum
+        val n = Seq("slow", "bad").map(graft.analysis.Relevance.countOccurrences(t, _)).sum
+        if (p + n == 0) 0.0 else math.max(-1.0, math.min(1.0, (p - n).toDouble / (p + n)))
+      })
+      rt(s, d, "documents")
+        .withColumn("score", round(scoreU(col("text")), 9))
+        .withColumn("label",
+          when(col("score") > 0.1, "positive")
+            .when(col("score") < -0.1, "negative").otherwise("neutral"))
+        .select(col("doc_id"), col("score"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+    "q19_bug_classify" -> ((s, d) => {
+      val isBug = Seq("error", "crash", "lag")
+        .map(k => lower(col("text")).contains(k)).reduce(_ || _)
+      rt(s, d, "documents")
+        .withColumn("is_bug", isBug)
+        .groupBy(col("is_bug")).agg(count(lit(1)).as("n"))
+        .orderBy(col("is_bug"))
+    }),
+    "q20_token_topn" -> ((s, d) => {
+      rt(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }),
+    "q21_explode_types" -> ((s, d) => {
+      rt(s, d, "part")
+        .select(explode(split(col("p_type"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+    }),
+
+    // ---- training-data ops: dedup family ------------------------------------
+    "q23_exact_dedup_groups" -> ((s, d) => {
+      graft.ops.Dedup.exactGroups(rt(s, d, "documents"))
+        .orderBy(col("fingerprint"))
+    }),
+    "q24_minhash_signatures" -> ((s, d) => {
+      graft.ops.Dedup.minhashSignatures(rt(s, d, "documents"), k = 4, shingleW = 1)
+        .orderBy(col("doc_id"))
+    }),
+    "q29_ngram_jaccard_pairs" -> ((s, d) => {
+      graft.ops.Dedup.ngramJaccardPairs(
+        rt(s, d, "documents").filter(graft.ops.TextOps.tokenCountCol(col("text")) >= 2),
+        shingleW = 2, threshold = 0.05)
+        .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+    "q30_simhash_pairs" -> ((s, d) => { // rows-only (JVM-hash based)
+      graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 16)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q36_minhash_lsh_pairs" -> ((s, d) => { // rows-only (banding layout)
+      // 3-word shingles: with a small vocabulary, 1-gram MinHash would
+      // degenerate into one giant LSH bucket (every doc contains nearly
+      // every word) — w=3 keeps buckets selective
+      graft.ops.Dedup.lshCandidatePairs(
+        graft.ops.Dedup.minhashSignatures(rt(s, d, "documents"), k = 8, shingleW = 3),
+        k = 8, bands = 4)
+        .orderBy(col("band"), col("a"), col("b"))
+    }),
+
+    // ---- training-data ops: text analysis -----------------------------------
+    "q25_token_stats_per_lang" -> ((s, d) => {
+      rt(s, d, "documents")
+        .withColumn("n_tokens", graft.ops.TextOps.tokenCountCol(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+    "q26_quality_scores" -> ((s, d) => {
+      rt(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextOps.tokenCountCol(col("text")).as("n_tokens"),
+          graft.ops.TextOps.qualityScoreCol(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "q27_langid_simple" -> ((s, d) => {
+      // SQL-checkable stopword cascade (the full voting heuristic is
+      // q28, rows-only)
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      rt(s, d, "documents")
+        .withColumn("lang_guess",
+          when(padded.contains(" the "), "en")
+            .when(padded.contains(" der ") || padded.contains(" und "), "de")
+            .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+            .otherwise("und"))
+        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_guess"))
+    }),
+    "q28_text_profile" -> ((s, d) => { // rows-only (JVM hash + UDF heuristics)
+      graft.ops.TextOps.profile(rt(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("bpe_tokens"), col("quality"),
+          col("lang_id"), col("fingerprint"), col("rolling_hash"))
+        .orderBy(col("doc_id"))
+    }),
+    "q35_fingerprints" -> ((s, d) => {
+      rt(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextOps.fingerprintCol(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-data ops: similarity search --------------------------------
+    "q31_embedding_norms" -> ((s, d) => {
+      val norm = sqrt(aggregate(
+        transform(col("embedding"), a => a.cast("double") * a.cast("double")),
+        lit(0.0d), (acc, v) => acc + v))
+      rt(s, d, "embeddings")
+        .select(col("vec_id"), round(norm, 4).as("norm"))
+        .orderBy(col("vec_id"))
+    }),
+    "q32_cosine_topk" -> ((s, d) => { // rows-only (float-sum order)
+      val dim = 64
+      val q = (0 until dim).map(i => math.sin(i + 1.0))
+      graft.ops.Similarity.bruteForceTopK(rt(s, d, "embeddings"), q, 10)
+        .select(col("vec_id"), col("cosine"))
+    }),
+    "q33_lsh_topk" -> ((s, d) => { // rows-only
+      val dim = 64
+      val q = (0 until dim).map(i => math.sin(i + 1.0))
+      graft.ops.Similarity.lshTopK(rt(s, d, "embeddings"), q, 10, dim)
+        .select(col("vec_id"), col("cosine"), col("bucket"))
+    }),
+    "q34_bucketed_neighbors" -> ((s, d) => { // rows-only
+      graft.ops.Similarity.bucketedNeighbors(rt(s, d, "embeddings"), dim = 64, k = 3)
+    }),
+
+    // ---- crawl engine + multimodal plumbing (rows-only; full parity in
+    //      sbt test vs the sequential oracle) ----------------------------------
+    "q37_crawl_span_docs" -> ((s, d) => {
+      import s.implicits._
+      val seeds = graft.fixtures.Fixtures.seeds(120)
+      val docs = seeds.flatMap { sr =>
+        val canon = graft.core.UrlCanon.canonicalize(sr.url)
+        graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
+          .map(p => (canon, p.spans.map(sp => (sp.kind, sp.text, sp.media_ref, sp.offset))))
+      }
+      s.createDataset(docs.toSeq).toDF("doc_id", "spans")
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), col("span._1").as("kind"), col("span._2").as("text"),
+          col("span._3").as("media_ref"), col("span._4").as("offset"))
+        .orderBy(col("doc_id"), col("offset"))
+    }),
+    "q38_media_features" -> ((s, d) => {
+      import s.implicits._
+      val seeds = graft.fixtures.Fixtures.seeds(120)
+      val docRows = seeds.flatMap { sr =>
+        val canon = graft.core.UrlCanon.canonicalize(sr.url)
+        graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
+          .map(p => (canon, p.spans))
+      }.distinct
+      val docs = s.createDataset(docRows.toSeq).toDF("doc_id", "spans")
+      val media = graft.ops.Multimodal.mediaTable(s, docs)
+      graft.ops.Multimodal.extractFeatures(s, media, partitions = 8)
+        .toDF().orderBy(col("media_id"), col("doc_id"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle SQL — identical column names + deterministic
+    * ORDER BY. Keys absent here get the driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_discount), 4) AS sum_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_top_orders" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'F'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q03_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q04_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q05_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""",
+    "q06_daily_revenue_delta" ->
+      """WITH daily AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM orders GROUP BY 1)
+         SELECT day, revenue,
+                lag(revenue, 1) OVER (ORDER BY day) AS prev_revenue,
+                round(revenue - lag(revenue, 1) OVER (ORDER BY day), 2) AS delta
+         FROM daily ORDER BY day""",
+    "q07_hot_decile_orders" ->
+      """WITH ranked AS (
+           SELECT o_orderkey, o_totalprice,
+                  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                  count(*) OVER () AS n
+           FROM orders)
+         SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM ranked WHERE rn <= greatest(1, n // 10) ORDER BY o_orderkey""",
+    "q08_weekly_order_trend" ->
+      """SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+                count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY 1 ORDER BY week""",
+    "q13_orders_per_day" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY day""",
+    "q22_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q09_nation_union" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         UNION SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q10_status_breakdown" ->
+      """SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders""",
+    "q11_distinct_orders_per_flag" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+                count(*) AS n_lines
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q12_part_strings" ->
+      """SELECT p_partkey, substring(p_name, 1, 10) AS name10,
+                lower(p_brand) AS brand_lc,
+                p_brand || '|' || p_type AS brand_type
+         FROM part ORDER BY p_partkey LIMIT 100""",
+    "q14_orders_page3" ->
+      """WITH ranked AS (
+           SELECT o_orderkey, o_totalprice,
+                  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM ranked WHERE rn > 20 AND rn <= 30 ORDER BY o_orderkey""",
+    "q15_url_canon" ->
+      """SELECT c_custkey,
+                'https://shop.example.com/cust/' || c_custkey || '?ref=x' AS canon_url
+         FROM customer ORDER BY c_custkey""",
+    "q16_first_wins_dedup" ->
+      """SELECT o_custkey, min(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q17_relevance_score" ->
+      """SELECT doc_id,
+           round(least(1.0, greatest(0.0,
+             0.4 * (((CASE WHEN position('spark' IN text) > 0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN position('data' IN text) > 0 THEN 1 ELSE 0 END)) / 2.0)
+             + CASE WHEN f > 0 THEN least(0.3, 0.3 * (1 - 1.0 / (1 + f * 0.1))) ELSE 0 END)), 9)
+           AS relevance
+         FROM (SELECT doc_id, text,
+                 (length(text) - length(replace(text, 'spark', ''))) / 5
+               + (length(text) - length(replace(text, 'data', ''))) / 4 AS f
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q18_sentiment_lexicon" ->
+      """WITH c AS (
+           SELECT doc_id,
+             (length(t) - length(replace(t, 'fast', ''))) / 4
+             + (length(t) - length(replace(t, 'good', ''))) / 4 AS p,
+             (length(t) - length(replace(t, 'slow', ''))) / 4
+             + (length(t) - length(replace(t, 'bad', ''))) / 3 AS n
+           FROM (SELECT doc_id,
+                   trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                 FROM documents) x)
+         SELECT doc_id,
+           round(CASE WHEN p + n = 0 THEN 0.0
+                 ELSE greatest(-1.0, least(1.0, (p - n) * 1.0 / (p + n))) END, 9) AS score,
+           CASE WHEN (CASE WHEN p + n = 0 THEN 0.0
+                      ELSE greatest(-1.0, least(1.0, (p - n) * 1.0 / (p + n))) END) > 0.1
+                  THEN 'positive'
+                WHEN (CASE WHEN p + n = 0 THEN 0.0
+                      ELSE greatest(-1.0, least(1.0, (p - n) * 1.0 / (p + n))) END) < -0.1
+                  THEN 'negative'
+                ELSE 'neutral' END AS label
+         FROM c ORDER BY doc_id""",
+    "q19_bug_classify" ->
+      """SELECT (position('error' IN lower(text)) > 0
+                 OR position('crash' IN lower(text)) > 0
+                 OR position('lag' IN lower(text)) > 0) AS is_bug,
+                count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY is_bug""",
+    "q20_token_topn" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         WHERE length(token) >= 2
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q21_explode_types" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part) t
+         GROUP BY word ORDER BY n DESC, word""",
+    "q23_exact_dedup_groups" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+                min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q24_minhash_signatures" ->
+      """SELECT doc_id,
+                min(md5(tok || '_0')) AS mh_0, min(md5(tok || '_1')) AS mh_1,
+                min(md5(tok || '_2')) AS mh_2, min(md5(tok || '_3')) AS mh_3
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q29_ngram_jaccard_pairs" ->
+      """WITH docs2 AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE (length(text) - length(replace(text, ' ', ''))) + 1 >= 2),
+         sets AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(0, len(toks) - 1),
+               i -> array_to_string(toks[i + 1:i + 2], ' '))) AS sh
+           FROM docs2),
+         inv AS (
+           SELECT doc_id, len(sh) AS setSize, unnest(sh) AS sh FROM sets),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b, a.setSize AS sa, b.setSize AS sb,
+                  count(*) AS inter
+           FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT a, b, round(inter * 1.0 / (sa + sb - inter), 9) AS jaccard
+         FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= 0.05
+         ORDER BY a, b""",
+    "q25_token_stats_per_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS sum_tokens, max(nt) AS max_tokens
+         FROM (SELECT lang,
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE (length(text) - length(replace(text, ' ', ''))) + 1 END AS nt
+               FROM documents) t
+         GROUP BY lang ORDER BY lang""",
+    "q26_quality_scores" ->
+      """SELECT doc_id, nt AS n_tokens,
+           round(least(least(length(text) / 200.0, 1.0) * 0.6 +
+             (CASE WHEN nt > 0 AND
+                   (length(text) - (nt - 1)) * 1.0 / nt BETWEEN 2.0 AND 12.0
+              THEN 1.0 ELSE 0.5 END) * 0.4, 1.0), 6) AS quality
+         FROM (SELECT doc_id, text,
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE (length(text) - length(replace(text, ' ', ''))) + 1 END AS nt
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q27_langid_simple" ->
+      """SELECT CASE WHEN position(' the ' IN ' ' || lower(text) || ' ') > 0 THEN 'en'
+                     WHEN position(' der ' IN ' ' || lower(text) || ' ') > 0
+                       OR position(' und ' IN ' ' || lower(text) || ' ') > 0 THEN 'de'
+                     WHEN position(' le ' IN ' ' || lower(text) || ' ') > 0
+                       OR position(' la ' IN ' ' || lower(text) || ' ') > 0 THEN 'fr'
+                     ELSE 'und' END AS lang_guess,
+                count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY lang_guess""",
+    "q35_fingerprints" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q31_embedding_norms" ->
+      """SELECT vec_id, round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm
+         FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+         GROUP BY vec_id ORDER BY vec_id""",
+  )
 }

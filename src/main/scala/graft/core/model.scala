@@ -103,7 +103,8 @@ final case class CrawlConfig(
     seenPartitions: Int = 32,      // bloom bank width; scale knob (10^10 URLs → raise)
     saltFactor: Int = 1,           // >1 splits hot hosts across lanes (bench mode only)
     bloomExpectedPerPartition: Long = 1000000L,
-    bloomFpp: Double = 0.01)
+    bloomFpp: Double = 0.01,
+    persistRounds: Boolean = true) // false = bench mode: no snapshot writes
 
 /** Per-round, per-partition fetch/dedup metrics (north-rule lineage). */
 final case class PartitionMetrics(

@@ -158,6 +158,31 @@ object Fixtures {
     out.result()
   }
 
+  /** Pure per-index seed for BENCH-scale frontiers (generated distributed
+    * via spark.range — no sequential back-references like seeds()):
+    * ~30% of URLs land on the 2 hot hosts (skew axis), the rest spread
+    * over `nHosts` synthetic long-tail hosts; duplicates re-derive an
+    * earlier index's primary page (one-level chain — dedup still
+    * exercised at scale).
+    */
+  def benchSeed(i: Long, postRange: Int, nHosts: Int, seed: Long = Seed): SeedRecord = {
+    val h = mix(seed, 61L, i)
+    def primary(j: Long): (String, Int, Int) = {
+      val hj = mix(seed, 61L, j)
+      val host =
+        if (bounded(mix(hj, 1L), 100) < 30)
+          (if (bounded(mix(hj, 2L), 2) == 0) "steam.example.org" else "metacritic.example.org")
+        else f"host${bounded(mix(hj, 3L), nHosts)}%04d.example.net"
+      (host, bounded(mix(hj, 4L), 4), bounded(mix(hj, 5L), postRange))
+    }
+    val (host, board, post) =
+      if (i > 0 && chance(mix(h, 7L), 0.15)) primary(bounded(mix(h, 8L), i.toInt.max(1)).toLong)
+      else primary(i)
+    val kw = Keywords(bounded(mix(h, 9L), Keywords.length))
+    SeedRecord(i, noisyUrl(host, board, post, mix(h, 10L)), host, kw,
+      kw + " " + words(h, 4, 11L), kw + " " + words(h, 8, 12L))
+  }
+
   // ---- fetch faults -------------------------------------------------------
   /** Deterministic fault for a canonical URL, or None. ~3% 429 (count 1-2;
     * on long-tail board* hosts sometimes 4 straight → domain suspension
@@ -186,7 +211,11 @@ object Fixtures {
     if (chance(mix(h, 32L), 0.02)) return malformedPage(h)
 
     val title = words(h, 5, 33L)
-    val nSegs = 1 + bounded(mix(h, 34L), 3)            // 1..3 body segments
+    // bench-scale long-tail hosts (host%04d.example.net, see benchSeed)
+    // carry ~8x heavier bodies so fetch+parse cost approximates real review
+    // pages; the parity corpus (SiteTable hosts) is unaffected
+    val sizeMul = if (host.startsWith("host")) 8 else 1
+    val nSegs = (1 + bounded(mix(h, 34L), 3)) * sizeMul // 1..3 (×8 bench) body segments
     val nMedia = nSegs - 1 + (if (chance(mix(h, 35L), 0.3)) 1 else 0) // imgs between/after segs
     val segs = (0 until nSegs).map(i => words(h, 12 + bounded(mix(h, 36L, i.toLong), 20), mix(40L, i.toLong)))
     val media = (0 until nMedia).map(i => s"https://cdn.example.org/img/${bounded(mix(h, 37L, i.toLong), 100000)}.jpg")

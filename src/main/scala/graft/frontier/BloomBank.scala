@@ -83,21 +83,24 @@ object BloomBank {
     } finally in.close()
   }
 
-  /** Distributed build: one bloom per url-hash partition, built map-side
-    * per Spark partition then OR-merged per bank partition on the driver
-    * (bloom union is associative & lossless). Input: DataFrame with a
-    * string column `canonCol`.
+  /** Distributed build: one bloom per url-hash partition. URLs are first
+    * SHUFFLED by their bank-partition id so each task builds only the
+    * filters of the pids it owns (without this, every map task would
+    * allocate up to `partitions` filters — O(P² · filterBytes) transient
+    * memory across the stage). Collected bytes = exactly P filters.
     */
   def build(df: DataFrame, canonCol: String, partitions: Int,
             expectedPerPartition: Long, fpp: Double): BloomBank = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val p = partitions; val exp = expectedPerPartition; val f = fpp
     val perPart: Array[(Int, Array[Byte])] = df.select(canonCol).as[String]
+      .map(u => (UrlCanon.partition(u, p), u))
+      .repartition(p, col("_1"))
       .mapPartitions { it =>
         val local = scala.collection.mutable.Map.empty[Int, BloomFilter]
-        it.foreach { url =>
-          val pid = UrlCanon.partition(url, p)
+        it.foreach { case (pid, url) =>
           local.getOrElseUpdate(pid, BloomFilter.create(exp, f)).putString(url)
         }
         local.iterator.map { case (pid, bf) =>

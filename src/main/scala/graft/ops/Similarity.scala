@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force cosine top-k as the exact baseline, and a sign-bucket
+  * (random hyperplane) LSH variant as the scale path.
+  *
+  * Scale notes: brute force is a single narrow projection + TakeOrdered —
+  * it scans everything but shuffles only k rows per partition. The LSH
+  * variant probes one bucket (plus optional Hamming-1 neighbors), turning
+  * a 10^10-row scan into a bucket-local scan; planes are derived from a
+  * seed so the index is reproducible and needs no stored model.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes: plane p component i =
+    * mapped-to-[−1,1) splitmix64(seed, p, i). Shared by index build and
+    * query side.
+    */
+  def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim) { i =>
+      val h = graft.fixtures.Fixtures.mix(seed, p.toLong, i.toLong)
+      (h.toDouble / Long.MaxValue.toDouble)
+    })
+
+  /** Sign-bucket id of an embedding under the seeded hyperplanes: bit p =
+    * sign(dot(v, plane_p)). UDF (tight numeric loop over the plane matrix —
+    * broadcast via closure).
+    */
+  def signBucketCol(embedding: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val ps = planes(dim, nPlanes, seed)
+    val u = udf { (v: Seq[Float]) =>
+      var bucket = 0
+      var p = 0
+      while (p < ps.length) {
+        var dot = 0.0
+        var i = 0
+        val plane = ps(p)
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot > 0) bucket |= (1 << p)
+        p += 1
+      }
+      bucket
+    }
+    u(embedding)
+  }
+
+  /** Exact brute-force cosine top-k neighbors of a query vector.
+    * Pure Catalyst arithmetic + orderBy().limit(k) — Spark plans it as
+    * TakeOrderedAndProject (per-partition top-k, then k·P merge on the
+    * driver — no full sort).
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: Seq[Double], k: Int): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val q = lit(query.toArray)
+    val dot = aggregate(
+      zip_with(col("embedding"), q, (a, b) => a.cast("double") * b),
+      lit(0.0d), (acc, v) => acc + v)
+    val vNorm = sqrt(aggregate(
+      transform(col("embedding"), a => a.cast("double") * a.cast("double")),
+      lit(0.0d), (acc, v) => acc + v))
+    embeddings
+      .withColumn("cosine", dot / (vNorm * qNorm))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH-bucketed approximate top-k: probe the query's bucket and all
+    * Hamming-1 neighbor buckets, brute-force within.
+    */
+  def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+      dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, nPlanes, seed)
+    var qBucket = 0
+    ps.zipWithIndex.foreach { case (plane, p) =>
+      val dot = plane.zip(query).map { case (a, b) => a * b }.sum
+      if (dot > 0) qBucket |= (1 << p)
+    }
+    val probe = qBucket +: (0 until nPlanes).map(p => qBucket ^ (1 << p))
+    val bucketed = embeddings.withColumn("bucket",
+      signBucketCol(col("embedding"), dim, nPlanes, seed))
+    bruteForceTopK(bucketed.filter(col("bucket").isin(probe: _*)), query, k)
+  }
+
+  /** All-pairs top neighbors per vector within LSH buckets (batch ANN):
+    * returns (a, b, cosine) for each vector's nearest `k` bucket-mates.
+    */
+  def bucketedNeighbors(embeddings: DataFrame, dim: Int, k: Int = 5,
+      nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = embeddings.withColumn("bucket",
+      signBucketCol(col("embedding"), dim, nPlanes, seed))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("a") =!= col("b"))
+      .withColumn("cosine", Dedup.cosineCol(col("va"), col("vb")))
+    val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("a", "b", "cosine")
+  }
+}

@@ -22,12 +22,18 @@ final case class Candidate(url: String, keyword: String, ord0: Long, ord1: Int)
   * reference RateLimiter's retry/suspension dicts live for the whole crawl
   * — rate_limiter.py:213-303 — so they must survive round boundaries).
   */
-final case class HostState(host: String, retryCount: Int, suspended: Boolean, virtualTime: Double)
+final case class HostState(host: String, lane: Int, retryCount: Int, suspended: Boolean, virtualTime: Double)
 
-/** Frontier entry enriched with its host's checkpointed scheduler state. */
+/** Frontier entry enriched with its salt lane and its (host, lane)'s
+  * checkpointed scheduler state. The politeness clock is keyed by
+  * (host, lane) — NOT host alone — so outcomes are independent of how
+  * lanes co-locate into partitions (determinism across parallelism
+  * levels); each lane paces at delay×saltFactor to preserve the per-host
+  * budget (SURVEY §7.4.4).
+  */
 final case class FrontierWithState(
     round: Int, seq: Long, url: String, canonUrl: String, host: String, keyword: String,
-    initRetry: Int, initSusp: Boolean, initVt: Double)
+    lane: Int, initRetry: Int, initSusp: Boolean, initVt: Double)
 
 /** Output of the fused fetch+parse stage for one frontier entry. */
 final case class FetchParseRow(
@@ -100,9 +106,10 @@ final class Crawler(
   private val robotsB = spark.sparkContext.broadcast(Fixtures.robotsMap)
   private val cfgB = spark.sparkContext.broadcast(config)
 
-  // ---- pure column helpers (UDF-wrapped pure Scala; candidates are tiny
-  //      relative to fetch cost, and canonicalization is regex-free) ------
-  private val canonU = udf((u: String) => UrlCanon.canonicalize(u))
+  // ---- pure column helpers: canonicalization is a native Catalyst
+  //      expression (codegen — graft.functions.CanonicalizeUrl); the
+  //      robots check stays a UDF (closure over the broadcast rule map) --
+  private def canonU(c: org.apache.spark.sql.Column) = graft.functions.functions.canon_url(c)
   private val hostU = udf((u: String) => UrlCanon.host(u))
   private val disallowedU = {
     val rb = robotsB
@@ -112,15 +119,39 @@ final class Crawler(
     })
   }
 
+  // Cross-round in-flight state. During a run, the seen set / bloom bank /
+  // host scheduler state / next sequence id flow in memory (cached
+  // DataFrames + driver objects); the snapshot store is WRITE-ONLY while
+  // running and read only at RESUME. This avoids re-reading each round
+  // what the previous round just wrote — at cluster scale that read lands
+  // on distributed storage and is pure waste.
+  private var seenAcc: Option[DataFrame] = None
+  private var bankAcc: Option[BloomBank] = None
+  private var stateAcc: Option[DataFrame] = None
+  private var nextSeqAcc: Long = 0L
+
+  /** Total URLs scheduled (= fetched+deduped) so far in this run. */
+  def totalScheduled: Long = nextSeqAcc
+
   /** Entry: run all rounds (resuming from the last committed round). */
   def run(seeds: Dataset[SeedRecord]): Unit = {
     val resumeFrom = store.latestRound().map(_ + 1).getOrElse(0)
+    if (resumeFrom > 0) { // resume: load cross-round state from the store
+      val last = resumeFrom - 1
+      seenAcc = store.read(spark, "seen").map(_.select($"canonUrl".as("canon")).persist())
+      bankAcc = BloomBank.load(store.bloomPath(last))
+      stateAcc = Some(spark.read.parquet(store.tablePath("host_state", last)).persist())
+      nextSeqAcc = store.manifestMetric(last, "next_seq").getOrElse(0L)
+    }
     var round = resumeFrom
     var candidates: Dataset[Candidate] =
       if (round == 0) seedCandidates(seeds)
       else candidatesFromStore(round)
-    while (round < config.maxRounds && !candidates.isEmpty) {
-      candidates = runRound(round, candidates)
+    var haveCandidates = round == 0 || !candidates.isEmpty
+    while (round < config.maxRounds && haveCandidates) {
+      val (next, nextCount) = runRound(round, candidates)
+      candidates = next
+      haveCandidates = nextCount > 0
       round += 1
     }
   }
@@ -151,8 +182,19 @@ final class Crawler(
     }.getOrElse(spark.emptyDataset[Candidate])
   }
 
-  /** One crawl round; returns the next round's candidates. */
-  def runRound(round: Int, candidates: Dataset[Candidate]): Dataset[Candidate] = {
+  private val timing = sys.env.get("GRAFT_TIMING").contains("1")
+  private def timed[T](label: String)(body: => T): T = {
+    if (!timing) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[graft-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
+  /** One crawl round; returns (next round's candidates, their count). */
+  def runRound(round: Int, candidates: Dataset[Candidate]): (Dataset[Candidate], Long) = {
     val cands = candidates.toDF()
       .withColumn("canon", canonU($"url"))
       .filter(!disallowedU($"canon"))
@@ -167,19 +209,27 @@ final class Crawler(
     // cross-round dedup: bloom pre-filter + exact anti-join (U5)
     val fresh = antiJoinSeen(round, roundUnique)
 
-    // global sequence assignment, continuing from prior rounds
-    val seqStart = store.read(spark, "seen").map(_.count()).getOrElse(0L)
-    val sequenced = Sequencer.addSeq(fresh, Seq(col("ord0"), col("ord1")), "seq", seqStart)
-      .withColumn("host", hostU($"canon"))
+    // global sequence assignment, continuing from the in-flight counter
+    val seqStart = nextSeqAcc
+    val (sequencedRaw, frontierCount, seqCache) = timed(s"r$round sequencer") {
+      Sequencer.addSeq(fresh, Seq(col("ord0"), col("ord1")), "seq", seqStart)
+    }
+    val sequenced = sequencedRaw.withColumn("host", hostU($"canon"))
 
     val frontier = sequenced.select(
       lit(round).as("round"), $"seq", $"url", $"canon".as("canonUrl"), $"host", $"keyword")
       .as[FrontierEntry]
 
     // politeness-scheduled fused fetch+parse (host scheduler state carried
-    // over from the previous round's checkpoint)
-    val outcome = fetchParse(round, frontier).persist()
-    val results = outcome.flatMap(o => Option(o._1)).persist()
+    // over from the previous round's checkpoint). The fetch output (spans +
+    // outlinks) is the round's heavyweight intermediate: in full mode it is
+    // spilled columnar to disk (the snapshot write follows anyway and heap
+    // eviction would trigger a full re-fetch); in bench mode (no
+    // persistence) it stays memory-first.
+    val outcome = fetchParse(round, frontier).persist(
+      if (config.persistRounds) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val results = outcome.flatMap(o => Option(o._1))
     val hostStates = outcome.flatMap(o => Option(o._2))
 
     // next-round candidates: outlinks in (parent seq, link idx) order,
@@ -190,29 +240,58 @@ final class Crawler(
       .select($"url", $"keyword", $"ord0", $"ord1".cast("int"))
       .as[Candidate]
 
-    commitRound(round, frontier, results, hostStates)
+    // fold the round's new scheduler state (stateAcc must be materialized
+    // BEFORE the outcome cache is dropped)
+    val newState = hostStates.toDF()
+    val mergedState = (stateAcc match {
+      case Some(old) => old.join(newState.select("host", "lane"), Seq("host", "lane"), "left_anti")
+        .unionByName(newState)
+      case None => newState
+    }).persist()
+    timed(s"r$round host-state") { mergedState.count() }
+
+    // fold the round's frontier into the in-flight seen set + bloom bank
+    val newBank = timed(s"r$round bloom-build") { BloomBank.build(
+      frontier.select($"canonUrl".as("canon")).toDF(),
+      "canon", config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp) }
+    bankAcc = Some(bankAcc.map(_.merge(newBank)).getOrElse(newBank))
+    val roundSeen = frontier.select($"canonUrl".as("canon")).toDF().persist()
+    val newSeen = seenAcc match {
+      case Some(old) => old.unionByName(roundSeen)
+      case None      => roundSeen
+    }
+
+    if (config.persistRounds)
+      commitRound(round, frontier, results, mergedState,
+        seqStart + frontierCount, frontierCount)
+
     val materializedNext = next.persist()
-    materializedNext.count()
-    results.unpersist()
+    val nextCount = timed(s"r$round next-candidates") { materializedNext.count() }
+    val oldState = stateAcc
+    stateAcc = Some(mergedState)
+    oldState.foreach(_.unpersist())
+    seenAcc = Some(newSeen)
+    nextSeqAcc = seqStart + frontierCount
     outcome.unpersist()
-    materializedNext
+    seqCache.unpersist()
+    (materializedNext, nextCount)
   }
 
   /** Bloom pre-filter (broadcast bank) + exact left-anti join against the
-    * seen table. mightContain=false short-circuits the join entirely.
+    * in-flight seen set. mightContain=false short-circuits the join
+    * entirely; false positives are re-checked exactly, never dropped.
     */
   private def antiJoinSeen(round: Int, cands: DataFrame): DataFrame = {
-    val bankOpt = store.latestRound().flatMap(r => BloomBank.load(store.bloomPath(r)))
-    (bankOpt, store.read(spark, "seen")) match {
+    (bankAcc, seenAcc) match {
       case (Some(bank), Some(seen)) =>
         val bankB = spark.sparkContext.broadcast(bank)
         val mightU = udf((canon: String) => bankB.value.mightContain(canon))
-        val flagged = cands.withColumn("maybe_seen", mightU($"canon")).persist()
+        val flagged = cands.withColumn("maybe_seen", mightU($"canon"))
         val definitelyNew = flagged.filter(!$"maybe_seen")
         val confirmed = flagged.filter($"maybe_seen")
-          .join(seen.select($"canonUrl".as("canon")), Seq("canon"), "left_anti")
+          .join(seen, Seq("canon"), "left_anti")
         definitelyNew.unionByName(confirmed).drop("maybe_seen")
-      case _ => cands // no committed rounds yet
+      case _ => cands // first round of a fresh run
     }
   }
 
@@ -230,23 +309,21 @@ final class Crawler(
       if (salt <= 1) lit(0)
       else pmod(xxhash64($"canonUrl"), lit(salt)).cast("int")
 
-    // carry over checkpointed per-host scheduler state (join, not broadcast
-    // of a global map — the host-state table scales with #hosts)
-    val priorState: DataFrame = store.latestRound()
-      .filter(r => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(store.tablePath("host_state", r))))
-      .map(r => spark.read.parquet(store.tablePath("host_state", r)))
+    // carry over the per-(host, lane) scheduler state from the in-flight
+    // accumulator (join, not a broadcast global map — the state table
+    // scales with #hosts; Spark still broadcasts it while it is small)
+    val priorState: DataFrame = stateAcc
       .getOrElse(spark.emptyDataset[HostState].toDF())
-      .select($"host", $"retryCount".as("initRetry"), $"suspended".as("initSusp"),
+      .select($"host", $"lane", $"retryCount".as("initRetry"), $"suspended".as("initSusp"),
         $"virtualTime".as("initVt"))
 
     val parted = frontier.toDF()
-      .join(broadcastIfSmall(priorState), Seq("host"), "left")
-      .na.fill(Map("initRetry" -> 0, "initVt" -> 0.0)).na.fill(false, Seq("initSusp"))
       .withColumn("lane", saltCol)
+      .join(broadcastIfSmall(priorState), Seq("host", "lane"), "left")
+      .na.fill(Map("initRetry" -> 0, "initVt" -> 0.0)).na.fill(false, Seq("initSusp"))
       .repartition(p, $"host", $"lane")
       .sortWithinPartitions($"seq")
-      .select($"round", $"seq", $"url", $"canonUrl", $"host", $"keyword",
+      .select($"round", $"seq", $"url", $"canonUrl", $"host", $"keyword", $"lane",
         $"initRetry", $"initSusp", $"initVt")
       .as[FrontierWithState]
 
@@ -254,12 +331,12 @@ final class Crawler(
     parted.mapPartitions { it =>
       val cfg = cb.value
       val robots = rb.value
-      val clocks = scala.collection.mutable.LinkedHashMap.empty[String, HostClock]
+      val clocks = scala.collection.mutable.LinkedHashMap.empty[(String, Int), HostClock]
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val mapped = it.map { e =>
         val delay = robots.get(e.host).map(_.crawlDelay).getOrElse(cfg.defaultDelay) *
           math.max(1, cfg.saltFactor)
-        val clock = clocks.getOrElseUpdate(e.host, {
+        val clock = clocks.getOrElseUpdate((e.host, e.lane), {
           val c = new HostClock(delay, cfg.maxRetries)
           c.retryCount = e.initRetry; c.suspended = e.initSusp; c.virtualTime = e.initVt
           c
@@ -283,8 +360,9 @@ final class Crawler(
         (row, null.asInstanceOf[HostState])
       }
       // trailing state rows, materialized lazily after the partition drains
-      mapped ++ clocks.iterator.map { case (host, c) =>
-        (null.asInstanceOf[FetchParseRow], HostState(host, c.retryCount, c.suspended, c.virtualTime))
+      mapped ++ clocks.iterator.map { case ((host, lane), c) =>
+        (null.asInstanceOf[FetchParseRow],
+          HostState(host, lane, c.retryCount, c.suspended, c.virtualTime))
       }
     }
   }
@@ -292,9 +370,12 @@ final class Crawler(
   /** Broadcast-hint small dimension sides (host-state starts tiny). */
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
-  /** Atomic snapshot commit of the round's five tables + bloom bank. */
+  /** Atomic snapshot commit of the round's five tables + bloom bank (all
+    * inputs already computed/cached by runRound — this is write-only).
+    */
   private def commitRound(round: Int, frontier: Dataset[FrontierEntry],
-      results: Dataset[FetchParseRow], hostStates: Dataset[HostState]): Unit = {
+      results: Dataset[FetchParseRow], mergedState: DataFrame,
+      nextSeq: Long, frontierCount: Long): Unit = {
     val docs = results.filter($"status" === "fetched")
       .select($"round", $"seq", $"canonUrl".as("doc_id"), $"url", $"host".as("site"),
         $"keyword", $"title", $"author", $"created_at", $"view_count", $"like_count",
@@ -308,35 +389,15 @@ final class Crawler(
       sum(when($"status" === "fetched", 1L).otherwise(0L)).as("fetched"),
       sum(when($"status" =!= "fetched", 1L).otherwise(0L)).as("failed"))
 
-    // cumulative host scheduler state: this round's final states win;
-    // untouched hosts keep their previous checkpointed row
-    val prior = store.latestRound()
-      .filter(r => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(store.tablePath("host_state", r))))
-      .map(r => spark.read.parquet(store.tablePath("host_state", r)))
-    val newState = hostStates.toDF()
-    val mergedState = prior match {
-      case Some(old) => old.join(newState.select("host"), Seq("host"), "left_anti")
-        .unionByName(newState)
-      case None => newState
-    }
+    // bank saved before the manifest: an orphan bank of an uncommitted
+    // round is never read (readers resolve the bank via committed rounds)
+    bankAcc.foreach(_.save(store.bloomPath(round)))
 
-    store.commit(round, Map(
-      "docs" -> docs, "crawl_log" -> crawlLog, "seen" -> seen, "metrics" -> metrics,
-      "host_state" -> mergedState))
-
-    // fold this round's seen urls into the bloom bank (lossless OR-merge)
-    val newBank = BloomBank.build(
-      spark.read.parquet(store.tablePath("seen", round)).select($"canonUrl".as("canon")),
-      "canon", config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp)
-    val merged = (0 until round).reverse.collectFirst {
-      case r if java.nio.file.Files.exists(java.nio.file.Paths.get(store.bloomPath(r))) =>
-        BloomBank.load(store.bloomPath(r)).get
-    } match {
-      case Some(old) => old.merge(newBank)
-      case None      => newBank
-    }
-    merged.save(store.bloomPath(round))
+    timed(s"r$round commit-tables") { store.commit(round,
+      Map("docs" -> docs, "crawl_log" -> crawlLog, "seen" -> seen,
+        "metrics" -> metrics, "host_state" -> mergedState),
+      knownCounts = Map("seen" -> frontierCount, "crawl_log" -> frontierCount),
+      metricsJson = s"""{"next_seq":$nextSeq,"frontier":$frontierCount}""") }
   }
 }
 
@@ -347,7 +408,11 @@ final class Crawler(
   * stays in the DataFrame API.
   */
 object Sequencer {
-  def addSeq(df: DataFrame, orderCols: Seq[Column], out: String, start: Long = 0L): DataFrame = {
+  /** Returns (sequenced df, total row count, cache handle to unpersist once
+    * downstream consumers are done).
+    */
+  def addSeq(df: DataFrame, orderCols: Seq[Column], out: String,
+      start: Long = 0L): (DataFrame, Long, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
@@ -355,13 +420,15 @@ object Sequencer {
       .persist()
     val counts = parted.groupBy($"__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
     val offsetOf = counts.map(_._1).zip(
       counts.scanLeft(start) { case (acc, (_, n)) => acc + n }.dropRight(1)).toMap
     val offU = udf((pid: Int) => offsetOf(pid))
     val w = Window.partitionBy($"__pid").orderBy(orderCols: _*)
-    parted
+    val res = parted
       .withColumn("__rn", row_number().over(w))
       .withColumn(out, offU($"__pid") + $"__rn" - 1)
       .drop("__pid", "__rn")
+    (res, total, parted)
   }
 }

@@ -43,15 +43,17 @@ final class SnapshotStore(val root: String) {
 
   /** Write each table's round partition, then atomically commit the
     * manifest referencing all of them (all-or-nothing across tables —
-    * SURVEY §7.4.5).
+    * SURVEY §7.4.5). `knownCounts` are rows counted by the caller on
+    * already-cached data; tables without one get -1 (never re-read parquet
+    * just for a manifest statistic).
     */
-  def commit(round: Int, tables: Map[String, DataFrame], metricsJson: String = "{}"): Unit = {
-    val counts = tables.map { case (name, df) =>
+  def commit(round: Int, tables: Map[String, DataFrame],
+      knownCounts: Map[String, Long] = Map.empty, metricsJson: String = "{}"): Unit = {
+    tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(tablePath(name, round))
-      name -> df.sparkSession.read.parquet(tablePath(name, round)).count()
     }
     val entries = tables.keys.map { name =>
-      s""""$name":{"path":"${tablePath(name, round)}","rows":${counts(name)}}"""
+      s""""$name":{"path":"${tablePath(name, round)}","rows":${knownCounts.getOrElse(name, -1L)}}"""
     }.mkString(",")
     val json = s"""{"round":$round,"committed_at_round":$round,"tables":{$entries},"metrics":$metricsJson}"""
     Files.createDirectories(manifestDir)
@@ -59,6 +61,18 @@ final class SnapshotStore(val root: String) {
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(round), StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Raw manifest JSON of a committed round (tiny; driver-side parse). */
+  def manifestJson(round: Int): Option[String] = {
+    val p = manifestPath(round)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  /** A metric recorded in the round's manifest `metrics` object. */
+  def manifestMetric(round: Int, key: String): Option[Long] =
+    manifestJson(round).flatMap { json =>
+      s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    }
 
   /** Union of a table across committed rounds ≤ maxRound (time travel). */
   def read(spark: SparkSession, table: String, maxRound: Int = Int.MaxValue): Option[DataFrame] = {

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** North-rule scaling evidence: the same crawl job at two parallelism
+  * levels (local[N] and local[4N] — stands in for N vs 4N executors; no
+  * real cluster exists in this sandbox, see BASELINE.md), reporting
+  * throughput at both plus scaling efficiency = (thr_4N / thr_N) / 4.
+  *
+  * Usage: runMain graft.tools.ScalingBench [nSeeds] [loCores] [hiCores]
+  */
+object ScalingBench {
+
+  def runOnce(cores: Int, nSeeds: Long): (Double, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory(s"graft-scale-$cores").toString
+    val seeds = spark.range(nSeeds)
+      .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 200000, nHosts = 1024))
+      .persist()
+    seeds.count() // materialize input outside the timed section
+    // persistRounds=false: the north-rule metric is URLs FETCHED+DEDUPED
+    // per second; snapshot persistence on this single-disk sandbox is
+    // I/O-bound and cannot evidence compute scaling (a cluster writes to
+    // distributed storage that scales with executors). End-to-end numbers
+    // including persistence are reported by graft.Bench.
+    val cfg = graft.core.CrawlConfig(maxRounds = 2, seenPartitions = math.max(cores, 16),
+      saltFactor = 8, bloomExpectedPerPartition = 2000000L, persistRounds = false)
+    val t0 = System.nanoTime()
+    val crawler = new graft.pipeline.Crawler(spark, cfg, store)
+    crawler.run(seeds)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val scheduled = crawler.totalScheduled
+    spark.stop()
+    // a fresh builder after stop() creates a brand-new context
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    (sec, scheduled)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nSeeds = args.lift(0).map(_.toLong).getOrElse(400000L)
+    val lo = args.lift(1).map(_.toInt).getOrElse(8)
+    val hi = args.lift(2).map(_.toInt).getOrElse(32)
+
+    // JIT warm-up: a small untimed crawl so no timed run pays
+    // first-compilation cost (observed ~1.6x first-vs-second run skew)
+    runOnce(hi, 30000L)
+
+    // same-JVM runs are noisy (GC history, page cache) — interleave
+    // repetitions and take the best time per level
+    val reps = args.lift(3).map(_.toInt).getOrElse(2)
+    val runs = (0 until reps).flatMap { r =>
+      val (ls, lu) = runOnce(lo, nSeeds)
+      val (hs, hu) = runOnce(hi, nSeeds)
+      require(lu == hu, s"determinism violated: $lu vs $hu")
+      println(f"""[scaling-rep $r] lo=$ls%.2fs hi=$hs%.2fs urls=$lu""")
+      Seq((lo, ls, lu), (hi, hs, hu))
+    }
+    val loSec = runs.filter(_._1 == lo).map(_._2).min
+    val hiSec = runs.filter(_._1 == hi).map(_._2).min
+    val urls = runs.head._3
+
+    val thrLo = urls / loSec
+    val thrHi = urls / hiSec
+    val eff = (thrHi / thrLo) / (hi.toDouble / lo)
+    println(f"""{"metric":"crawl_scaling_efficiency","value":$eff%.3f,""" +
+      f""""cores_lo":$lo,"cores_hi":$hi,"urls":$urls,"reps":$reps,""" +
+      f""""sec_lo":$loSec%.2f,"sec_hi":$hiSec%.2f,""" +
+      f""""urls_per_sec_lo":$thrLo%.1f,"urls_per_sec_hi":$thrHi%.1f}""")
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing — invariants + driver-side replicas over
+  * the sf0.001 testdata and synthesized fixtures.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("exact dedup: identical texts collapse to min doc_id") {
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 100000, $"text")) // exact text dups
+    val groups = Dedup.exactGroups(withDups).collect()
+    assert(groups.forall(_.getLong(2) >= 2)) // every text now has >= 2 copies
+    val kept = Dedup.exactDedup(withDups)
+    assert(kept.count() == docs.count())
+    assert(kept.agg(max($"doc_id")).head().getLong(0) < 100000) // min wins
+  }
+
+  test("shingles: n-1 w-shingles in order; short docs fall back to whole text") {
+    val got = Seq(("a b c d", 1)).toDF("text", "x")
+      .select(Dedup.shingleCol($"text", 3).as("sh")).head().getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq(("ab", 1)).toDF("text", "x")
+      .select(Dedup.shingleCol($"text", 3).as("sh")).head().getSeq[String](0)
+    assert(short == Seq("ab"))
+  }
+
+  test("minhash: identical docs share signatures; LSH finds planted near-dups") {
+    val base = docs.limit(50).select($"doc_id", $"text")
+    val planted = base.select(($"doc_id" + 100000).as("doc_id"), $"text") // exact copies
+    val all = base.union(planted)
+    val pairs = Dedup.minhashDupPairs(all, k = 8, bands = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted copy must be found as a (i, i+100000) pair
+    val wanted = base.select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(wanted.subsetOf(pairs), s"missing ${wanted -- pairs}")
+  }
+
+  test("ngram jaccard: exact inverted-index pairs match brute force on a sample") {
+    val sample = docs.limit(40).select($"doc_id", $"text")
+    val got = Dedup.ngramJaccardPairs(sample, shingleW = 2, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force replica
+    val local = sample.as[(Long, String)].collect()
+    def shingles(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val want = (for {
+      (a, ta) <- local; (b, tb) <- local if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.2
+    } yield ((a, b), j)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+  }
+
+  test("simhash: identical text → hamming 0; blocked pairs find planted dups") {
+    val s1 = Dedup.simhash(Seq("a", "b", "c"))
+    assert(s1 == Dedup.simhash(Seq("a", "b", "c")))
+    val base = docs.limit(30).select($"doc_id", $"text")
+    val all = base.union(base.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val pairs = Dedup.simhashDupPairs(all, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = base.select("doc_id").as[Long].collect().map(i => (i, i + 100000)).toSet
+    assert(wanted.subsetOf(pairs))
+  }
+
+  test("cosine: self-similarity 1.0; brute-force top-k ordered and exact on sample") {
+    val self = emb.limit(5)
+      .select(Dedup.cosineCol($"embedding", $"embedding").as("c"))
+      .as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-6))
+
+    val q = (0 until 64).map(i => math.sin(i + 1.0))
+    val top = Similarity.bruteForceTopK(emb, q, 5).collect()
+    val scores = top.map(_.getAs[Double]("cosine"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    // replica on driver
+    val local = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val want = local.map { case (id, v) =>
+      val dot = v.zip(q).map { case (a, b) => a.toDouble * b }.sum
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (id, dot / (vn * qn))
+    }.sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == want.map(_._1).toSeq)
+  }
+
+  test("LSH ANN: bucket probe returns a subset ranked like brute force") {
+    val q = (0 until 64).map(i => math.sin(i + 1.0))
+    val approx = Similarity.lshTopK(emb, q, 5, dim = 64).collect()
+    assert(approx.nonEmpty)
+    val scores = approx.map(_.getAs[Double]("cosine"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
+  test("text ops: token counts, quality in [0,1], langid scripts, fingerprints stable") {
+    val prof = TextOps.profile(docs.limit(100)).cache()
+    val rows = prof.select($"text", $"n_tokens", $"quality", $"fingerprint").collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      assert(r.getInt(1) == text.split(" ", -1).length)
+      val q = r.getDouble(2); assert(q >= 0.0 && q <= 1.0)
+    }
+    // deterministic fingerprints
+    val fp2 = TextOps.profile(docs.limit(100)).select("fingerprint").collect()
+    assert(rows.map(_.getString(3)).sameElements(fp2.map(_.getString(0))))
+    assert(TextOps.langIdScala("안녕하세요 게임") == "ko")
+    assert(TextOps.langIdScala("the game of the year") == "en")
+    assert(TextOps.langIdScala("der und die das") == "de")
+    assert(TextOps.langIdScala("xyzzy") == "und")
+  }
+
+  test("multimodal plumbing: media table from spans, stubbed features, frame sampling") {
+    val fixtureDocs = (0 until 100).flatMap { i =>
+      val canon = graft.core.UrlCanon.canonicalize(
+        graft.fixtures.Fixtures.cleanUrl(graft.fixtures.Fixtures.Hosts(i % 12), i % 4, i))
+      graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
+        .map(p => (canon, p.spans))
+    }
+    val docsDF = spark.createDataset(fixtureDocs).toDF("doc_id", "spans")
+    val media = Multimodal.mediaTable(spark, docsDF).cache()
+    val nMediaSpans = docsDF
+      .select(explode(expr("filter(spans, s -> s.kind = 'media')"))).count()
+    assert(media.count() == nMediaSpans && nMediaSpans > 0)
+    val feats = Multimodal.extractFeatures(spark, media, partitions = 4).cache()
+    assert(feats.count() == media.count())
+    val f = feats.head()
+    assert(f.feature.length == 16 && f.width >= 64 && f.format == "jpeg")
+    // deterministic stub
+    val feats2 = Multimodal.extractFeatures(spark, media, partitions = 2)
+    assert(feats2.orderBy("media_id", "doc_id").collect().toSeq ==
+      feats.orderBy("media_id", "doc_id").collect().toSeq)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.core._
+import graft.fixtures.Fixtures
+import graft.parse.PageParser
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators: file-backed streams driven synchronously
+  * (memory sink + processAllAvailable) over the fixture corpus; results
+  * compared against the batch equivalents.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docsDir: String = {
+    val dir = tempDir("graft-stream-docs") + "/data"
+    val rows = (0 until 200).flatMap { i =>
+      val canon = UrlCanon.canonicalize(
+        Fixtures.cleanUrl(Fixtures.Hosts(i % 12), i % 4, i))
+      PageParser.parse(Fixtures.html(canon), canon).map { p =>
+        TestDoc(0, i.toLong, canon, canon, Fixtures.Hosts(i % 12),
+          Fixtures.Keywords(i % 3), p.title, p.author,
+          p.createdAt.map(java.sql.Timestamp.valueOf).orNull,
+          p.viewCount, p.likeCount, p.spans, p.outlinks)
+      }
+    }
+    spark.createDataset(rows).write.parquet(dir)
+    dir
+  }
+
+  test("streaming daily sentiment trend equals the batch aggregate") {
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = graft.streaming.Streaming.sentimentTrendStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("trend")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // append mode emits only watermark-closed windows; compare the emitted
+    // buckets against the batch aggregate for those dates
+    val got = spark.table("trend")
+      .select($"date", $"value", $"count").collect()
+      .map(r => (r.getTimestamp(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val batch = analysis.Trends.sentimentTrend(
+      analysis.Sentiment.withSentiment(spark.read.parquet(docsDir)), "daily")
+      .collect().map(r => (r.getTimestamp(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty, "no closed windows emitted")
+    got.foreach { case (d, (v, c)) =>
+      assert(batch.contains(d), s"bucket $d not in batch result")
+      assert(math.abs(batch(d)._1 - v) < 1e-12 && batch(d)._2 == c, s"bucket $d differs")
+    }
+  }
+
+  test("stateful politeness stream reproduces the batch state machine per host") {
+    val entries = (0 until 150).map { i =>
+      val host = Fixtures.Hosts(i % 4)
+      val canon = UrlCanon.canonicalize(Fixtures.cleanUrl(host, i % 4, 500 + i))
+      FrontierEntry(0, i.toLong, canon, canon, host, "kw")
+    }
+    // batch expectation: per-host sequential state machine
+    val expected = {
+      val clocks = scala.collection.mutable.Map.empty[String, graft.fetch.HostClock]
+      entries.sortBy(_.seq).map { e =>
+        val c = clocks.getOrElseUpdate(e.host, new graft.fetch.HostClock(
+          Fixtures.robotsMap.get(e.host).map(_.crawlDelay).getOrElse(3.0), 3))
+        val (status, attempts, _) = c.fetchOne(graft.fetch.SyntheticFetcher, e.canonUrl)
+        CrawlLogEntry(e.round, e.seq, e.url, e.canonUrl, e.host, status, attempts)
+      }
+    }
+
+    val dir = tempDir("graft-stream-frontier") + "/data"
+    spark.createDataset(entries).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir).as[FrontierEntry]
+    val q = graft.streaming.Streaming.politenessStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sched").as[CrawlLogEntry].collect().sortBy(_.seq).toSeq
+    assert(got == expected)
+  }
+
+  test("urgent sliding-window counts emit only above the threshold") {
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = graft.streaming.Streaming.urgentCountsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("urgent")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("urgent").collect()
+    got.foreach(r => assert(r.getLong(2) >= graft.analysis.Alerts.UrgentMinPosts))
+  }
+}
