@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq ++
+  // bench stability: first-touch of a large heap hits the microVM host's
+  // lazy page-provisioning slow path (observed one-off 10-15x stage
+  // stalls); pre-touching moves that cost to JVM startup
+  (if (sys.env.contains("GRAFT_PRETOUCH"))
+     Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch")
+   else Seq.empty)

@@ -206,14 +206,18 @@ final class Crawler(
       .withColumn("rn", row_number().over(wDedup))
       .filter($"rn" === 1).drop("rn")
 
-    // cross-round dedup: bloom pre-filter + exact anti-join (U5)
-    val fresh = antiJoinSeen(round, roundUnique)
+    // cross-round dedup: bloom pre-filter + exact anti-join (U5).
+    // Persisted: the sequencer's range partitioner SAMPLES its input, so an
+    // unpersisted plan would re-run the dedup window + anti-join three
+    // times (sample, shuffle, count). Candidate rows are narrow.
+    val fresh = antiJoinSeen(round, roundUnique).persist()
 
     // global sequence assignment, continuing from the in-flight counter
     val seqStart = nextSeqAcc
     val (sequencedRaw, frontierCount, seqCache) = timed(s"r$round sequencer") {
       Sequencer.addSeq(fresh, Seq(col("ord0"), col("ord1")), "seq", seqStart)
     }
+    fresh.unpersist() // seqCache is materialized by addSeq's count pass
     val sequenced = sequencedRaw.withColumn("host", hostU($"canon"))
 
     val frontier = sequenced.select(
@@ -303,7 +307,10 @@ final class Crawler(
     */
   def fetchParse(round: Int, frontier: Dataset[FrontierEntry])
       : Dataset[(FetchParseRow, HostState)] = {
-    val p = math.max(spark.sparkContext.defaultParallelism, config.seenPartitions)
+    // 4 partitions per core: a single wave (p == cores) lets the slowest
+    // partition set the stage's wall time; smaller partitions amortize
+    // (host,lane) imbalance across waves
+    val p = math.max(4 * spark.sparkContext.defaultParallelism, config.seenPartitions)
     val salt = config.saltFactor
     val saltCol =
       if (salt <= 1) lit(0)
@@ -410,25 +417,36 @@ final class Crawler(
 object Sequencer {
   /** Returns (sequenced df, total row count, cache handle to unpersist once
     * downstream consumers are done).
+    *
+    * After repartitionByRange + sortWithinPartitions, rows are globally
+    * ordered across partition boundaries, so monotonically_increasing_id —
+    * (partitionId << 33) | localIndex, assigned in partition-scan order —
+    * already numbers rows in order WITHIN each partition; one tiny
+    * per-partition count pass yields the offsets. This is zipWithIndex
+    * without leaving the DataFrame API and without the second shuffle a
+    * window over partition ids would cost. Determinism: range boundaries
+    * depend only on key values (seeded sampler), the sort is total
+    * ((ord0, ord1) unique), and the id is materialized into the cache.
     */
   def addSeq(df: DataFrame, orderCols: Seq[Column], out: String,
       start: Long = 0L): (DataFrame, Long, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
       .persist()
-    val counts = parted.groupBy($"__pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val counts = parted
+      .groupBy(shiftrightunsigned($"__mid", 33).cast("int").as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
     val offsetOf = counts.map(_._1).zip(
       counts.scanLeft(start) { case (acc, (_, n)) => acc + n }.dropRight(1)).toMap
     val offU = udf((pid: Int) => offsetOf(pid))
-    val w = Window.partitionBy($"__pid").orderBy(orderCols: _*)
     val res = parted
-      .withColumn("__rn", row_number().over(w))
-      .withColumn(out, offU($"__pid") + $"__rn" - 1)
-      .drop("__pid", "__rn")
+      .withColumn(out,
+        offU(shiftrightunsigned($"__mid", 33).cast("int")) +
+          ($"__mid".bitwiseAND(lit((1L << 33) - 1))))
+      .drop("__mid")
     (res, total, parted)
   }
 }

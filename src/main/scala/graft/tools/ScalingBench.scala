@@ -15,10 +15,16 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (4 * cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: the sandbox's /tmp is a single virtio disk
+      // whose concurrent-writer kernel overhead dwarfs compute (observed
+      // 70% system time at high parallelism); a real cluster spreads this
+      // across executor-local disks
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
