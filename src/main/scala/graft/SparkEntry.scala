@@ -339,6 +339,21 @@ object SparkEntry {
           col("span._3").as("media_ref"), col("span._4").as("offset"))
         .orderBy(col("doc_id"), col("offset"))
     }),
+    // ---- dashboard endpoint shapes (P10 conjunctive filter + O3 sort +
+    //      O5 limit; point lookup) over testdata --------------------------
+    "q39_posts_endpoint" -> ((s, d) => {
+      rt(s, d, "documents")
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          substring(col("text"), 1, 80).as("preview"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(25)
+    }),
+    "q40_point_lookup" -> ((s, d) => {
+      rt(s, d, "documents")
+        .filter(col("doc_id") === 42L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "q38_media_features" -> ((s, d) => {
       import s.implicits._
       val seeds = graft.fixtures.Fixtures.seeds(120)
@@ -558,5 +573,11 @@ object SparkEntry {
       """SELECT vec_id, round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm
          FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
          GROUP BY vec_id ORDER BY vec_id""",
+    "q39_posts_endpoint" ->
+      """SELECT doc_id, lang, n_chars, substring(text, 1, 80) AS preview
+         FROM documents WHERE lang = 'en' AND n_chars >= 200
+         ORDER BY n_chars DESC, doc_id LIMIT 25""",
+    "q40_point_lookup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
   )
 }

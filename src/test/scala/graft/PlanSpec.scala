@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates: filters and projections must reach the
+  * parquet scan (PushedFilters / ReadSchema pruning), small dimension joins
+  * must broadcast, top-k must plan as TakeOrderedAndProject — the plans a
+  * 100 TB deployment needs, asserted at test scale.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown + column pruning reach the parquet scan") {
+    val plan = executed(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter($"l_quantity" > 30.0)
+        .select($"l_orderkey", $"l_quantity"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("point lookup pushes the equality filter (q40 shape)") {
+    val plan = executed(SparkEntry.queries("q40_point_lookup")(spark, sf))
+    assert(plan.contains("EqualTo(doc_id,42)"), plan)
+  }
+
+  test("small dimension join broadcasts (no sort-merge shuffle)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val plan = executed(
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name").count())
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executed(SparkEntry.queries("q02_top_orders")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("anti-join plans as a (broadcast) hash join, q04 shape") {
+    val plan = executed(SparkEntry.queries("q04_customers_without_orders")(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("span extraction stays whole-stage codegen (no UDF in the path)") {
+    val docs = (0 until 30).flatMap { i =>
+      val canon = core.UrlCanon.canonicalize(
+        fixtures.Fixtures.cleanUrl(fixtures.Fixtures.Hosts(i % 12), i % 4, i))
+      parse.PageParser.parse(fixtures.Fixtures.html(canon), canon)
+        .map(p => (canon, p.spans))
+    }
+    val df = spark.createDataset(docs).toDF("doc_id", "spans")
+    val plan = executed(df.select(analysis.Sentiment.bodyCol.as("body")))
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
+  }
+}
