@@ -25,7 +25,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("point lookup pushes the equality filter (q40 shape)") {
-    val plan = executed(SparkEntry.queries("q40_point_lookup")(spark, sf))
+    // sf0.01: other suites cache sf0.001/documents, which would satisfy
+    // this scan from InMemoryRelation and hide the parquet pushdown
+    val plan = executed(SparkEntry.queries("q40_point_lookup")(spark, "/root/testdata/sf0.01"))
     assert(plan.contains("EqualTo(doc_id,42)"), plan)
   }
 
