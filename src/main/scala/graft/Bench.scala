@@ -37,8 +37,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // crawl-engine throughput: distributed bench frontier, 2 rounds
-    val nSeeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "200000").toLong
+    // crawl-engine throughput: distributed bench frontier, 2 rounds;
+    // sized to the JVM's parallelism so driver-side runs stay bounded
+    val nSeeds = sys.env.get("SPARK_GRAFT_BENCH_SEEDS").map(_.toLong)
+      .getOrElse(6250L * cpus.toInt)
     val store = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val seeds = spark.range(nSeeds)
       .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 200000, nHosts = 1024))
