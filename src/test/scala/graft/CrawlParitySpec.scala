@@ -98,6 +98,23 @@ class CrawlParitySpec extends SparkSpec {
     assert(got == oracle.crawlLog.sortBy(_.seq))
   }
 
+  test("three-round crawl parity (deeper frontier expansion)") {
+    import spark.implicits._
+    val cfg3 = config.copy(maxRounds = 3)
+    val seeds3 = Fixtures.seeds(200)
+    val oracle3 = SequentialOracle.run(seeds3, cfg3)
+    val dir = tempDir("graft-parity3")
+    new Crawler(spark, cfg3, dir).run(spark.createDataset(seeds3))
+    val store = new graft.snapshot.SnapshotStore(dir)
+    val got = store.read(spark, "crawl_log").get
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    assert(got == oracle3.crawlLog.sortBy(_.seq))
+    assert(got.map(_.round).distinct.sorted == Vector(0, 1, 2))
+    val seen = store.read(spark, "seen").get.orderBy("seq")
+      .select("canonUrl").as[String].collect().toVector
+    assert(seen == oracle3.seen)
+  }
+
   test("bloom bank: no false negatives; pre-filter admits all seen urls") {
     val store = new graft.snapshot.SnapshotStore(storeRoot)
     val bank = graft.frontier.BloomBank.load(store.bloomPath(1)).get
