@@ -87,12 +87,14 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
     "q07_hot_decile_orders" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      val n = Window.partitionBy()
-      rt(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("is_hot", col("rn") <= greatest(lit(1L), floor(count(lit(1)).over(n) / 10)))
-        .filter(col("is_hot"))
+      // W1 scale-safe shape: count once, then a k-row top-k — Spark plans
+      // orderBy().limit(k) as TakeOrderedAndProject (per-partition top-k +
+      // driver merge of k·P rows), never a single-partition global window.
+      val o = rt(s, d, "orders")
+      val n = o.count()
+      val k = math.max(1L, n / 10L)
+      o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(k.toInt)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
@@ -149,11 +151,15 @@ object SparkEntry {
         .limit(100)
     }),
     "q14_orders_page3" -> ((s, d) => {
-      // O5: offset 20 limit 10 via row_number (no native DF offset)
+      // O5: offset 20 limit 10, scale-safe — TakeOrderedAndProject takes the
+      // top offset+limit rows, then the window numbers only those 30 rows
+      // (single tiny partition by construction, not a global sort).
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
       rt(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(30)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") > 20 && col("rn") <= 30)
+        .filter(col("rn") > 20)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
@@ -235,9 +241,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q29_ngram_jaccard_pairs" -> ((s, d) => {
+      // maxDf explicit: the DuckDB oracle is exact all-pairs (no df cap), so
+      // the engine-side inverted-index guard must be off for hash parity
       graft.ops.Dedup.ngramJaccardPairs(
         rt(s, d, "documents").filter(graft.ops.TextOps.tokenCountCol(col("text")) >= 2),
-        shingleW = 2, threshold = 0.05)
+        shingleW = 2, threshold = 0.05, maxDf = Int.MaxValue)
         .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("a"), col("b"))
     }),
@@ -364,8 +372,14 @@ object SparkEntry {
       }.distinct
       val docs = s.createDataset(docRows.toSeq).toDF("doc_id", "spans")
       val media = graft.ops.Multimodal.mediaTable(s, docs)
+      // the driver's rows-only hasher sorts column values with pandas, which
+      // can't order array cells — serialize the feature vector to a scalar
       graft.ops.Multimodal.extractFeatures(s, media, partitions = 8)
-        .toDF().orderBy(col("media_id"), col("doc_id"))
+        .toDF()
+        .withColumn("feature_csv",
+          concat_ws(",", transform(col("feature"), v => format_number(v, 3))))
+        .drop("feature")
+        .orderBy(col("media_id"), col("doc_id"))
     }),
   )
 
@@ -464,13 +478,13 @@ object SparkEntry {
     "q17_relevance_score" ->
       """SELECT doc_id,
            round(least(1.0, greatest(0.0,
-             0.4 * (((CASE WHEN position('spark' IN text) > 0 THEN 1 ELSE 0 END) +
-                     (CASE WHEN position('data' IN text) > 0 THEN 1 ELSE 0 END)) / 2.0)
+             0.4 * (((CASE WHEN position('spark' IN t) > 0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN position('data' IN t) > 0 THEN 1 ELSE 0 END)) / 2.0)
              + CASE WHEN f > 0 THEN least(0.3, 0.3 * (1 - 1.0 / (1 + f * 0.1))) ELSE 0 END)), 9)
            AS relevance
-         FROM (SELECT doc_id, text,
-                 (length(text) - length(replace(text, 'spark', ''))) / 5
-               + (length(text) - length(replace(text, 'data', ''))) / 4 AS f
+         FROM (SELECT doc_id, lower(text) AS t,
+                 (length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5
+               + (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4 AS f
                FROM documents) t
          ORDER BY doc_id""",
     "q18_sentiment_lexicon" ->

@@ -66,24 +66,37 @@ object Dashboard {
     * The dashboard sorts null created_at as '' (app.py:449-459) — i.e.
     * nulls first ascending, last descending.
     */
-  def sortPosts(df: DataFrame, by: String, desc: Boolean): DataFrame = {
+  def sortPosts(df: DataFrame, by: String, desc: Boolean): DataFrame =
+    df.orderBy(sortKeysFor(by, desc): _*) // seq = stable tiebreak (list order)
+
+  /** O5 pagination: offset via row_number over the EXPLICIT sort keys (no
+    * native DF offset). limit(offset+limit) plans as TakeOrderedAndProject;
+    * the window then re-ranks only those offset+limit rows by the same
+    * keys — plan-stable, unlike numbering by monotonically_increasing_id.
+    */
+  def paginate(sorted: DataFrame, sortKeys: Seq[Column], offset: Int, limit: Int): DataFrame = {
+    if (offset <= 0) return sorted.limit(limit)
+    val w = Window.orderBy(sortKeys: _*)
+    sorted.limit(offset + limit)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > offset).drop("__rn")
+  }
+
+  /** Convenience overload matching sortPosts' ordering. */
+  def paginatePosts(view: DataFrame, by: String, desc: Boolean,
+      offset: Int, limit: Int): DataFrame = {
+    val keys = sortKeysFor(by, desc)
+    paginate(view.orderBy(keys: _*), keys, offset, limit)
+  }
+
+  private[graft] def sortKeysFor(by: String, desc: Boolean): Seq[Column] = {
     val c = by match {
       case "comment_count" => col("comment_count")
       case "sentiment"     => col("sentiment_score")
       case "created_at"    => col("created_at")
       case _               => col("view_count")
     }
-    val ordered = if (desc) c.desc_nulls_last else c.asc_nulls_first
-    df.orderBy(ordered, col("seq")) // seq = stable tiebreak (list order)
-  }
-
-  /** O5 pagination: offset via row_number (no native DF offset), limit. */
-  def paginate(sorted: DataFrame, offset: Int, limit: Int): DataFrame = {
-    if (offset <= 0) return sorted.limit(limit)
-    val w = Window.orderBy(monotonically_increasing_id())
-    sorted.limit(offset + limit)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > offset).drop("__rn")
+    Seq(if (desc) c.desc_nulls_last else c.asc_nulls_first, col("seq"))
   }
 
   /** GET /api/games (A7): per-keyword rollup, post_count desc. */

@@ -156,7 +156,7 @@ class AnalysisPipelineSpec extends SparkSpec {
       .select("view_count").as[Int].collect().toSeq
     assert(sorted == sorted.sortBy(-(_: Int)))
 
-    val page2 = Dashboard.paginate(Dashboard.sortPosts(view, "view_count", desc = true), 10, 10)
+    val page2 = Dashboard.paginatePosts(view, "view_count", desc = true, 10, 10)
       .select("view_count").as[Int].collect().toSeq
     assert(page2 == sorted.slice(10, 20))
 

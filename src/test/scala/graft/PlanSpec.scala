@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q07 hot-decile plans as TakeOrderedAndProject (no global window)") {
+    val plan = executed(SparkEntry.queries("q07_hot_decile_orders")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q14 page-3 slice: TakeOrdered feeds the window (no full-table sort)") {
+    val plan = executed(SparkEntry.queries("q14_orders_page3")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("anti-join plans as a (broadcast) hash join, q04 shape") {
     val plan = executed(SparkEntry.queries("q04_customers_without_orders")(spark, sf))
     assert(plan.contains("LeftAnti"), plan)
