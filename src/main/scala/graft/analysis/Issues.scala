@@ -45,13 +45,14 @@ final case class Issue(
   */
 object Issues {
 
-  /** Bug/error keyword set — same classification role as the reference's
-    * BUG_KEYWORDS (issue_detector.py:40-46); trimmed to the fixture corpus
-    * vocabulary plus common variants.
+  /** The reference's BUG_KEYWORDS ported verbatim
+    * (issue_detector.py:40-46, 29 terms).
     */
   val BugKeywords: Set[String] = Set(
-    "버그", "오류", "에러", "렉", "튕김", "크래시", "멈춤", "안됨", "불가",
-    "끊김", "팅김", "다운", "점검", "무한로딩",
+    "버그", "오류", "에러", "렉", "튕김", "접속불가",
+    "크래시", "프리징", "멈춤", "안됨", "불가", "안돼",
+    "오작동", "작동안함", "실행안됨", "로딩", "무한로딩",
+    "끊김", "팅김", "다운", "서버다운", "점검", "긴급점검",
     "bug", "error", "crash", "freeze", "lag")
 
   /** F11: char-set Jaccard keyword similarity (issue_detector.py:77-104). */

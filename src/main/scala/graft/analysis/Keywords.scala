@@ -28,20 +28,38 @@ import scala.collection.mutable
   */
 object Keywords {
 
-  /** Korean stopword list in the spirit of the reference's DEFAULT_STOPWORDS
-    * (particles, pronouns, common verbs, community fillers) intersected with
-    * the fixture vocabulary's fillers; injectable like the reference's
+  /** The reference's DEFAULT_STOPWORDS ported verbatim
+    * (keyword_extractor.py:29-55: particles, pronouns,
+    * conjunctions/adverbs, verb/adjective endings, common nouns, gaming
+    * community fillers, number words); injectable like the reference's
     * constructor arg.
     */
   val Stopwords: Set[String] = Set(
+    // particles
     "이", "가", "은", "는", "을", "를", "의", "에", "에서", "로", "으로",
-    "와", "과", "도", "만", "까지", "부터",
-    "그리고", "그러나", "하지만", "그래서", "또한",
-    "하다", "되다", "있다", "없다", "같다",
+    "와", "과", "도", "만", "까지", "부터", "에게", "한테", "께",
+    // pronouns
+    "나", "너", "저", "우리", "그", "그녀", "이것", "저것", "그것",
+    // conjunctions / adverbs
+    "그리고", "그러나", "하지만", "그래서", "따라서", "또한", "또",
+    "그런데", "그러면", "그렇지만", "왜냐하면", "즉", "곧",
+    // common verb/adjective endings
+    "하다", "되다", "있다", "없다", "같다", "보다", "주다", "받다",
+    "한다", "된다", "있는", "없는", "같은", "보는", "주는", "받는",
+    "했다", "됐다", "있었다", "없었다", "같았다", "봤다", "줬다", "받았다",
+    "합니다", "됩니다", "있습니다", "없습니다", "같습니다",
+    "해요", "돼요", "있어요", "없어요", "같아요",
+    // common words
     "것", "수", "등", "때", "중", "더", "잘", "못", "안", "좀",
-    "정말", "진짜", "너무", "매우", "아주",
-    "게임", "유저", "플레이", "캐릭터",
-    "ㅋㅋ", "ㅋㅋㅋ", "ㅎㅎ", "ㅠㅠ")
+    "정말", "진짜", "너무", "매우", "아주", "완전", "엄청",
+    "이번", "다음", "지금", "오늘", "어제", "내일",
+    "여기", "거기", "저기", "어디",
+    // gaming community fillers
+    "게임", "유저", "플레이", "플레이어", "캐릭터", "캐릭",
+    "ㅋㅋ", "ㅋㅋㅋ", "ㅋㅋㅋㅋ", "ㅎㅎ", "ㅎㅎㅎ",
+    "ㅠㅠ", "ㅜㅜ", "ㅠㅠㅠ", "ㅜㅜㅜ",
+    // number words
+    "하나", "둘", "셋", "넷", "다섯")
 
   private val UrlRe = "https?://\\S+".r
   private val TagRe = "<[^>]+>".r

@@ -25,18 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Sentiment {
 
-  /** Default lexicon spanning the fixture corpus vocabulary (FIXTURES.md §4)
-    * plus common variants — same shape as the reference's word files.
+  /** Lexicon loader with the reference's exact file semantics
+    * (sentiment.py:43-72): one word per line, trimmed, blank lines and
+    * #-comment lines skipped. The default lexicon is the reference's own
+    * word files (crawler/analysis/lexicon/{positive,negative}.txt — public
+    * data in the reference repo), bundled verbatim as classpath resources;
+    * alternate lexicons are injectable exactly like the reference's
+    * lexicon_dir constructor arg.
     */
-  val PositiveLexicon: Set[String] = Set(
-    "좋다", "좋아", "좋네", "좋은", "재밌다", "재밌어", "재미있", "최고", "추천",
-    "행복", "감사", "멋지다", "멋져", "갓겜", "꿀잼", "사랑", "완벽",
-    "fun", "great", "good", "awesome", "amazing", "love", "best")
-  val NegativeLexicon: Set[String] = Set(
-    "나쁘다", "나빠", "최악", "실망", "짜증", "화나다", "화나", "망겜", "불편",
-    "느리다", "느려", "별로", "노잼", "싫다", "쓰레기",
-    "버그", "오류", "에러", "크래시", "튕김", "렉",
-    "bad", "awful", "terrible", "worst", "hate", "bug", "error", "crash", "lag")
+  def loadLexicon(resourceOrPath: String): Set[String] = {
+    val in = Option(getClass.getResourceAsStream(resourceOrPath))
+      .getOrElse(java.nio.file.Files.newInputStream(java.nio.file.Paths.get(resourceOrPath)))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    } finally in.close()
+  }
+
+  val PositiveLexicon: Set[String] = loadLexicon("/graft/lexicon/positive.txt")
+  val NegativeLexicon: Set[String] = loadLexicon("/graft/lexicon/negative.txt")
 
   def preprocess(text: String): String = {
     if (text == null || text.isEmpty) return ""
