@@ -249,8 +249,11 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("a"), col("b"))
     }),
-    "q30_simhash_pairs" -> ((s, d) => { // rows-only (JVM-hash based)
-      graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 16)
+    "q30_simhash_pairs" -> ((s, d) => {
+      // portable md5-based signatures + maxHamming=3, which the 4-block
+      // pigeonhole blocking covers with FULL recall — the DuckDB oracle is
+      // the brute-force all-pairs ground truth over the same signatures
+      graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 3)
         .orderBy(col("a"), col("b"))
     }),
     "q36_minhash_lsh_pairs" -> ((s, d) => { // rows-only (banding layout)
@@ -315,11 +318,11 @@ object SparkEntry {
         .select(col("vec_id"), round(norm, 4).as("norm"))
         .orderBy(col("vec_id"))
     }),
-    "q32_cosine_topk" -> ((s, d) => { // rows-only (float-sum order)
+    "q32_cosine_topk" -> ((s, d) => {
       val dim = 64
       val q = (0 until dim).map(i => math.sin(i + 1.0))
       graft.ops.Similarity.bruteForceTopK(rt(s, d, "embeddings"), q, 10)
-        .select(col("vec_id"), col("cosine"))
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
     "q33_lsh_topk" -> ((s, d) => { // rows-only
       val dim = 64
@@ -593,5 +596,94 @@ object SparkEntry {
          ORDER BY n_chars DESC, doc_id LIMIT 25""",
     "q40_point_lookup" ->
       """SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""",
+    // engine-portable simhash ground truth: identical md5-derived 60-bit
+    // token hashes + per-bit majority as the Spark side, but verified
+    // BRUTE-FORCE over all pairs — proving the blocked candidate
+    // generation loses nothing at maxHamming=3 (pigeonhole guarantee)
+    "q30_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         h AS (
+           SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
+         votes AS (
+           SELECT doc_id, i, sum((((h >> CAST(i AS INT)) & 1) * 2 - 1)) AS v
+           FROM h, range(0, 60) r(i) GROUP BY doc_id, i),
+         sigs AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                           ELSE 0 END) AS BIGINT) AS sig
+           FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY a, b""",
+    "q32_cosine_topk" -> {
+      val dim = 64
+      val qv = (0 until dim).map(i => f"${math.sin(i + 1.0)}%.17g").mkString("[", ", ", "]")
+      s"""WITH c AS (
+            SELECT vec_id,
+                   list_cosine_similarity(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)), $qv) AS cos
+            FROM embeddings)
+          SELECT vec_id, round(cos, 6) AS cosine
+          FROM c ORDER BY cos DESC, vec_id LIMIT 10"""
+    },
+    // MinHash-LSH banding layout: md5-based signatures (k=8 over 3-word
+    // shingles), 4 bands of 2 rows, candidate pairs sharing a (band, key);
+    // bucket guard (<=10000) mirrors the engine's skew rails
+    "q36_minhash_lsh_pairs" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         sets AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(0, len(toks) - 2),
+                 i -> array_to_string(toks[i + 1:i + 3], ' '))
+             ELSE [text] END AS sh
+           FROM docs2),
+         inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets),
+         sigs AS (
+           SELECT doc_id,
+             min(md5(sh || '_0')) AS mh_0, min(md5(sh || '_1')) AS mh_1,
+             min(md5(sh || '_2')) AS mh_2, min(md5(sh || '_3')) AS mh_3,
+             min(md5(sh || '_4')) AS mh_4, min(md5(sh || '_5')) AS mh_5,
+             min(md5(sh || '_6')) AS mh_6, min(md5(sh || '_7')) AS mh_7
+           FROM inv GROUP BY doc_id),
+         keyed AS (
+           SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS key FROM sigs
+           UNION ALL
+           SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS key FROM sigs
+           UNION ALL
+           SELECT doc_id, 2 AS band, md5(mh_4 || '|' || mh_5) AS key FROM sigs
+           UNION ALL
+           SELECT doc_id, 3 AS band, md5(mh_6 || '|' || mh_7) AS key FROM sigs),
+         small AS (
+           SELECT band, key FROM keyed GROUP BY band, key HAVING count(*) <= 10000),
+         guarded AS (SELECT k.* FROM keyed k JOIN small USING (band, key))
+         SELECT DISTINCT CAST(a.band AS INT) AS band, a.doc_id AS a, b.doc_id AS b
+         FROM guarded a JOIN guarded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         ORDER BY band, a, b""",
+    // deterministic span corpus: the VALUES list is generated from the
+    // same pure-Scala fixture+parser functions the sbt parity suite pins
+    // against the sequential oracle; the driver check then verifies the
+    // DISTRIBUTED explode/order path reproduces it through DuckDB
+    "q37_crawl_span_docs" ->
+      s"""SELECT doc_id, kind, text, media_ref, "offset"
+          FROM (VALUES $q37Values) t(doc_id, kind, text, media_ref, "offset")
+          ORDER BY doc_id, "offset"""",
   )
+
+  /** The q37 span corpus as a SQL VALUES list (pure Scala, no Spark). */
+  private lazy val q37Values: String = {
+    def lit(s: String): String =
+      if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
+    graft.fixtures.Fixtures.seeds(120).flatMap { sr =>
+      val canon = graft.core.UrlCanon.canonicalize(sr.url)
+      graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
+        .toSeq.flatMap(_.spans.map(sp =>
+          s"(${lit(canon)}, ${lit(sp.kind)}, ${lit(sp.text)}, ${lit(sp.media_ref)}, ${sp.offset})"))
+    }.mkString(", ")
+  }
 }

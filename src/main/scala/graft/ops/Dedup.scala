@@ -67,7 +67,8 @@ object Dedup {
     * any (band, key) become candidate pairs (a < b to dedup the pair space).
     * Returns (band, a, b).
     */
-  def lshCandidatePairs(sigs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -76,7 +77,13 @@ object Dedup {
     val keyed = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = keyed.as("a"); val b = keyed.as("b")
+    // degenerate-bucket guard: a single hot (band, key) — e.g. empty or
+    // boilerplate docs — would make the self-join below O(bucket²); skew
+    // real corpora always have. Cap is recall-vs-cost rails like maxDf.
+    val small = keyed.groupBy(col("band"), col("key")).count()
+      .filter(col("count") <= maxBucket).select(col("band"), col("key"))
+    val guarded = keyed.join(small, Seq("band", "key"))
+    val a = guarded.as("a"); val b = guarded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.band").as("band"), col("a.doc_id").as("a"), col("b.doc_id").as("b"))
@@ -154,19 +161,58 @@ object Dedup {
     if (text == null) 0L else simhash(text.split(" ").toSeq))
   def simhashCol(text: Column): Column = simhashU(text)
 
-  /** SimHash near-dup pairs: block by the 4 16-bit quarters (any pair
-    * within Hamming ≤ 3 of 64 bits shares at least one exact quarter —
-    * pigeonhole), verify with popcount on candidates only.
+  /** Engine-portable SimHash signatures: token hash = first 15 hex chars of
+    * md5 (60 bits, reproducible in any engine with md5 + base conversion —
+    * DuckDB: ('0x'||substring(md5(t),1,15))::BIGINT), per-bit majority vote
+    * over the token multiset. Pure DataFrame plan (explode + two hash
+    * aggregations), no JVM-specific hashing — this is the signature the
+    * driver's DuckDB oracle can recompute bit-for-bit.
+    * Returns (doc_id, sig).
     */
-  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhashCol(col("text")).as("sig"))
-    val quarters = (0 until 4).map(q =>
+  def simhashPortableSigs(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    // per (doc, bit) vote: +1 when the token hash has the bit set, −1 else
+    val votes = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("i"))
+      .withColumn("vote", (expr("shiftrightunsigned(h, i)") % 2) * 2 - 1)
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("vote")).as("v"))
+    votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs with a REAL Hamming guarantee: signatures are
+    * split into `maxHamming + 1` blocks, so any pair within Hamming ≤
+    * maxHamming shares at least one exact block (pigeonhole — a pair with
+    * all blocks differing has ≥ maxHamming+1 differing bits). Candidates
+    * verified with popcount. `maxBucket` guards degenerate blocks (e.g.
+    * millions of near-empty docs sharing a block value) from going
+    * quadratic — buckets above the cap are dropped from candidate
+    * generation (recall guard rails, like maxDf for shingles).
+    */
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60,
+      maxBucket: Int = 10000,
+      signatures: DataFrame => DataFrame = simhashPortableSigs(_)): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= bits, s"maxHamming $maxHamming needs $nBlocks blocks > $bits bits")
+    val width = bits / nBlocks // first (nBlocks-1) blocks `width` bits, last takes the rest
+    val sigs = signatures(docs)
+    val blocks = (0 until nBlocks).map { q =>
+      val lo = q * width
+      val w = if (q == nBlocks - 1) bits - lo else width
       struct(lit(q).as("q"),
-        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("key")))
-    val keyed = sigs.select(col("doc_id"), col("sig"), explode(array(quarters: _*)).as("bk"))
+        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << w) - 1)).as("key"))
+    }
+    val keyed = sigs.select(col("doc_id"), col("sig"), explode(array(blocks: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.q").as("q"), col("bk.key").as("key"))
-    val a = keyed.select(col("q"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
-    val b = keyed.select(col("q"), col("key"), col("doc_id").as("b"), col("sig").as("sigb"))
+    val small = keyed.groupBy(col("q"), col("key")).count()
+      .filter(col("count") <= maxBucket).select(col("q"), col("key"))
+    val guarded = keyed.join(small, Seq("q", "key"))
+    val a = guarded.select(col("q"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
+    val b = guarded.select(col("q"), col("key"), col("doc_id").as("b"), col("sig").as("sigb"))
     a.join(b, Seq("q", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
@@ -187,13 +233,22 @@ object Dedup {
 
   /** Embedding near-dup pairs: random-hyperplane sign-bucket LSH (seeded,
     * deterministic planes), exact cosine verify within buckets.
+    *
+    * Scale knobs: `planes` must grow with the corpus (buckets ≈ 2^planes;
+    * size a bucket to ~10³–10⁴ vectors — e.g. 10^10 vectors want ≥ 21
+    * planes, not 8), and `maxBucket` drops degenerate buckets (all-zero or
+    * boilerplate embeddings collapse onto one bucket) before the
+    * within-bucket join can go quadratic.
     */
   def embeddingDupPairs(embeddings: DataFrame, dim: Int, planes: Int = 8,
-      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     val bucketed = embeddings.withColumn("bucket",
       Similarity.signBucketCol(col("embedding"), dim, planes, seed))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val small = bucketed.groupBy(col("bucket")).count()
+      .filter(col("count") <= maxBucket).select("bucket")
+    val guarded = bucketed.join(small, Seq("bucket"))
+    val a = guarded.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = guarded.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
       .withColumn("cosine", cosineCol(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)

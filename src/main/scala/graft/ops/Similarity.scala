@@ -89,12 +89,17 @@ object Similarity {
     * returns (a, b, cosine) for each vector's nearest `k` bucket-mates.
     */
   def bucketedNeighbors(embeddings: DataFrame, dim: Int, k: Int = 5,
-      nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+      nPlanes: Int = 8, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = embeddings.withColumn("bucket",
       signBucketCol(col("embedding"), dim, nPlanes, seed))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    // degenerate-bucket guard (see Dedup.embeddingDupPairs): a hot bucket
+    // would make the self-join quadratic; nPlanes is the primary scale knob
+    val small = bucketed.groupBy(col("bucket")).count()
+      .filter(col("count") <= maxBucket).select("bucket")
+    val guarded = bucketed.join(small, Seq("bucket"))
+    val a = guarded.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = guarded.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
     val pairs = a.join(b, Seq("bucket")).filter(col("a") =!= col("b"))
       .withColumn("cosine", Dedup.cosineCol(col("va"), col("vb")))
     val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))

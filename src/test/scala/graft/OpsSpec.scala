@@ -72,6 +72,48 @@ class OpsSpec extends SparkSpec {
     assert(wanted.subsetOf(pairs))
   }
 
+  test("simhash portable sigs: Spark SQL formula matches a driver-side replica") {
+    val sample = docs.limit(30).select($"doc_id", $"text")
+    val got = Dedup.simhashPortableSigs(sample).as[(Long, Long)].collect().toMap
+    val local = sample.as[(Long, String)].collect()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    local.foreach { case (id, text) =>
+      val acc = new Array[Long](60)
+      text.split(" ", -1).foreach { t =>
+        val h = java.lang.Long.parseLong(md5hex(t).take(15), 16)
+        (0 until 60).foreach(i => acc(i) += ((h >>> i) & 1L) * 2 - 1)
+      }
+      val want = (0 until 60).map(i => if (acc(i) > 0) 1L << i else 0L).sum
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
+  test("skew guard: 1k identical docs do not produce a quadratic bucket join") {
+    // 1000 copies of one text land in ONE (band|block|bucket) everywhere;
+    // without the maxBucket guard each of these would emit ~500k pairs
+    val skewed = spark.range(1000)
+      .select($"id".as("doc_id"), lit("the same boilerplate text again").as("text"))
+    val lsh = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(skewed, k = 8, shingleW = 3), k = 8, bands = 4,
+      maxBucket = 100)
+    assert(lsh.count() == 0) // hot bucket dropped, not exploded
+    val sim = Dedup.simhashDupPairs(skewed, maxHamming = 3, maxBucket = 100)
+    assert(sim.count() == 0)
+    val skewedEmb = spark.range(1000).select($"id".as("vec_id"),
+      array((0 until 64).map(i => lit(math.sin(i * 0.1).toFloat)): _*).as("embedding"))
+    assert(Dedup.embeddingDupPairs(skewedEmb, dim = 64, maxBucket = 100).count() == 0)
+    assert(Similarity.bucketedNeighbors(skewedEmb, dim = 64, maxBucket = 100).count() == 0)
+    // and with the guard above the population, everything is found
+    val found = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(skewed.limit(50), k = 8, shingleW = 3), k = 8, bands = 4,
+      maxBucket = 10000)
+    assert(found.count() == 4L * (50L * 49 / 2)) // all 4 bands match per pair
+  }
+
   test("cosine: self-similarity 1.0; brute-force top-k ordered and exact on sample") {
     val self = emb.limit(5)
       .select(Dedup.cosineCol($"embedding", $"embedding").as("c"))
