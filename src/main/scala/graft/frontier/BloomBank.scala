@@ -1,10 +1,12 @@
 package graft.frontier
 
 import graft.core.UrlCanon
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Partitioned bloom-filter bank over the URL-seen set (north rule: the
   * scale-out realization of the reference's in-memory `seen` dict,
@@ -13,8 +15,23 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * The seen set is hash-partitioned by canonical-URL FNV-64 into `p`
   * independent bloom filters so each filter stays small enough for the
   * target FPP at 10^10 keys (e.g. p = 4096 × ~2.4M keys/filter at 1% FPP
-  * ≈ 2.9 MB/filter — only the filters for a candidate's partition are
-  * consulted, and the bank is broadcast once per round).
+  * ≈ 2.9 MB/filter).
+  *
+  * DISTRIBUTED LAYOUT (round-2 redesign; round 1 collected the bank to the
+  * driver and broadcast it whole — O(bank) on the driver and O(bank ×
+  * executors) on the network, both scale-killers at the 10^10-key target):
+  * the bank lives as an `RDD[(pid, filterBytes)]` under a
+  * `HashPartitioner(p)`, so pid i's blob sits in partition i and NEVER
+  * moves:
+  *   - probe: candidates are keyed by pid and `partitionBy`-shuffled to the
+  *     bank's partitioner, then `zipPartitions` probes each candidate
+  *     against its partition's blob — only the (small) candidate side
+  *     crosses the network, the bank side is narrow;
+  *   - merge: per-round banks share the partitioner, so OR-ing blobs is a
+  *     `zipPartitions` too — zero shuffle, O(bank) CPU spread across the
+  *     cluster;
+  *   - persistence: one parquet table of (pid, filter) rows per round —
+  *     written/read with ordinary distributed I/O, nothing driver-resident.
   *
   * CORRECTNESS: the bloom is a PRE-FILTER ONLY. `mightContain = false` is
   * authoritative (definitely new); `true` candidates are confirmed against
@@ -22,96 +39,113 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * cost an extra join probe, never a dropped URL — URL-seen parity is
   * preserved by construction (SURVEY §7.4.3).
   */
-final class BloomBank(val partitions: Int, val filters: Array[BloomFilter]) extends Serializable {
-  require(filters.length == partitions)
+object DistBloomBank {
 
-  def mightContain(canonUrl: String): Boolean =
-    filters(UrlCanon.partition(canonUrl, partitions)).mightContainString(canonUrl)
+  /** (pid, serialized filter); always partitioned by HashPartitioner(p)
+    * with pid i in partition i (Int hashCode is identity).
+    */
+  type Bank = RDD[(Int, Array[Byte])]
 
-  def put(canonUrl: String): Unit =
-    filters(UrlCanon.partition(canonUrl, partitions)).putString(canonUrl)
+  private def ser(f: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(); f.writeTo(bos); bos.toByteArray
+  }
+  private def deser(b: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(b))
 
-  def merge(other: BloomBank): BloomBank = {
-    require(other.partitions == partitions)
-    val merged = filters.zip(other.filters).map { case (a, b) =>
-      val c = copyOf(a); c.mergeInPlace(b); c
-    }
-    new BloomBank(partitions, merged)
+  /** Build one round's bank from a (canon) DataFrame: shuffle urls to their
+    * pid's partition, build exactly one filter per non-empty pid there.
+    * Pids with no urls this round emit nothing (probe treats a missing
+    * blob as mightContain = false, which is exact: nothing was inserted).
+    */
+  def buildRound(df: DataFrame, canonCol: String, partitions: Int,
+      expectedPerPartition: Long, fpp: Double): Bank = {
+    val p = partitions; val exp = expectedPerPartition; val f = fpp
+    df.select(canonCol).rdd
+      .map(r => (UrlCanon.partition(r.getString(0), p), r.getString(0)))
+      .partitionBy(new HashPartitioner(p))
+      .mapPartitions({ it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val bf = BloomFilter.create(exp, f)
+          var pid = -1
+          it.foreach { case (k, u) => pid = k; bf.putString(u) }
+          Iterator((pid, ser(bf)))
+        }
+      }, preservesPartitioning = true)
   }
 
-  private def copyOf(f: BloomFilter): BloomFilter = {
-    val bos = new ByteArrayOutputStream(); f.writeTo(bos)
-    BloomFilter.readFrom(new ByteArrayInputStream(bos.toByteArray))
-  }
-
-  def save(path: String): Unit = {
-    val p = Paths.get(path)
-    Files.createDirectories(p.getParent)
-    val tmp = Paths.get(path + ".tmp")
-    val out = Files.newOutputStream(tmp)
-    try {
-      val dos = new java.io.DataOutputStream(out)
-      dos.writeInt(partitions)
-      filters.foreach { f =>
-        val bos = new ByteArrayOutputStream(); f.writeTo(bos)
-        val bytes = bos.toByteArray
-        dos.writeInt(bytes.length); dos.write(bytes)
+  /** OR-merge two co-partitioned banks — narrow (no shuffle). */
+  def merge(a: Bank, b: Bank): Bank =
+    a.zipPartitions(b, preservesPartitioning = true) { (ia, ib) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Int, BloomFilter]
+      (ia ++ ib).foreach { case (pid, bytes) =>
+        m.get(pid) match {
+          case Some(g) => g.mergeInPlace(deser(bytes))
+          case None    => m(pid) = deser(bytes)
+        }
       }
-      dos.flush()
-    } finally out.close()
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      m.iterator.map { case (pid, bf) => (pid, ser(bf)) }
+    }
+
+  /** Adds boolean column `flag` = bank.mightContain(canon). Only the
+    * candidate rows shuffle (to the bank's partitioner); each task probes
+    * its partition's blob in place.
+    */
+  def probe(cands: DataFrame, canonCol: String, bank: Bank,
+      partitions: Int, flag: String): DataFrame = {
+    val spark = cands.sparkSession
+    val schema = cands.schema
+    val idx = schema.fieldIndex(canonCol)
+    val p = partitions
+    val keyed = cands.rdd
+      .map(r => (UrlCanon.partition(r.getString(idx), p), r))
+      .partitionBy(new HashPartitioner(p))
+    val probed = keyed.zipPartitions(bank, preservesPartitioning = false) { (cit, bit) =>
+      val filters = bit.map(kv => deser(kv._2)).toArray
+      cit.map { case (_, r) =>
+        val maybe = filters.nonEmpty &&
+          filters.exists(_.mightContainString(r.getString(idx)))
+        Row.fromSeq(r.toSeq :+ maybe)
+      }
+    }
+    spark.createDataFrame(probed,
+      StructType(schema.fields :+ StructField(flag, BooleanType, nullable = false)))
+  }
+
+  private val saveSchema = StructType(Seq(
+    StructField("pid", IntegerType, nullable = false),
+    StructField("filter", BinaryType, nullable = false)))
+
+  /** Persist as a parquet table of (pid, filter) — distributed write. */
+  def save(spark: SparkSession, bank: Bank, path: String): Unit =
+    spark.createDataFrame(bank.map { case (pid, b) => Row(pid, b) }, saveSchema)
+      .write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String, partitions: Int): Option[Bank] = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return None
+    Some(spark.read.parquet(path).rdd
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+      .partitionBy(new HashPartitioner(partitions)))
+  }
+
+  /** Driver-side view for tests/diagnostics ONLY (collects the bank). */
+  def toLocal(bank: Bank, partitions: Int): BloomBank = {
+    val filters = new Array[BloomFilter](partitions)
+    bank.collect().foreach { case (pid, b) => filters(pid) = deser(b) }
+    new BloomBank(partitions, filters)
   }
 }
 
-object BloomBank {
+/** Driver-local bank view — used by tests and the sequential oracle's
+  * cross-checks; the engine itself only ever touches DistBloomBank.
+  * A null slot means "no urls ever hashed to this pid" (mightContain
+  * = false, exactly).
+  */
+final class BloomBank(val partitions: Int, val filters: Array[BloomFilter]) extends Serializable {
+  require(filters.length == partitions)
 
-  def empty(partitions: Int, expectedPerPartition: Long, fpp: Double): BloomBank =
-    new BloomBank(partitions, Array.fill(partitions)(BloomFilter.create(expectedPerPartition, fpp)))
-
-  def load(path: String): Option[BloomBank] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) return None
-    val in = new java.io.DataInputStream(Files.newInputStream(p))
-    try {
-      val n = in.readInt()
-      val filters = Array.fill(n) {
-        val len = in.readInt(); val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-      }
-      Some(new BloomBank(n, filters))
-    } finally in.close()
-  }
-
-  /** Distributed build: one bloom per url-hash partition. URLs are first
-    * SHUFFLED by their bank-partition id so each task builds only the
-    * filters of the pids it owns (without this, every map task would
-    * allocate up to `partitions` filters — O(P² · filterBytes) transient
-    * memory across the stage). Collected bytes = exactly P filters.
-    */
-  def build(df: DataFrame, canonCol: String, partitions: Int,
-            expectedPerPartition: Long, fpp: Double): BloomBank = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val p = partitions; val exp = expectedPerPartition; val f = fpp
-    val perPart: Array[(Int, Array[Byte])] = df.select(canonCol).as[String]
-      .map(u => (UrlCanon.partition(u, p), u))
-      .repartition(p, col("_1"))
-      .mapPartitions { it =>
-        val local = scala.collection.mutable.Map.empty[Int, BloomFilter]
-        it.foreach { case (pid, url) =>
-          local.getOrElseUpdate(pid, BloomFilter.create(exp, f)).putString(url)
-        }
-        local.iterator.map { case (pid, bf) =>
-          val bos = new ByteArrayOutputStream(); bf.writeTo(bos); (pid, bos.toByteArray)
-        }
-      }.collect()
-
-    val bank = empty(p, exp, f)
-    perPart.foreach { case (pid, bytes) =>
-      bank.filters(pid).mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
-    }
-    bank
+  def mightContain(canonUrl: String): Boolean = {
+    val f = filters(UrlCanon.partition(canonUrl, partitions))
+    f != null && f.mightContainString(canonUrl)
   }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.core._
 import graft.fetch.{Fetcher, HostClock, SyntheticFetcher}
 import graft.fixtures.Fixtures
-import graft.frontier.BloomBank
+import graft.frontier.DistBloomBank
 import graft.parse.PageParser
 import graft.analysis.Relevance
 import graft.snapshot.SnapshotStore
@@ -121,14 +121,27 @@ final class Crawler(
 
   // Cross-round in-flight state. During a run, the seen set / bloom bank /
   // host scheduler state / next sequence id flow in memory (cached
-  // DataFrames + driver objects); the snapshot store is WRITE-ONLY while
-  // running and read only at RESUME. This avoids re-reading each round
-  // what the previous round just wrote — at cluster scale that read lands
-  // on distributed storage and is pure waste.
-  private var seenAcc: Option[DataFrame] = None
-  private var bankAcc: Option[BloomBank] = None
+  // DataFrames/RDDs + a few driver scalars); the snapshot store is
+  // WRITE-ONLY while running and read only at RESUME. This avoids
+  // re-reading each round what the previous round just wrote — at cluster
+  // scale that read lands on distributed storage and is pure waste.
+  //
+  // The seen set is a CHAIN of per-round DataFrames, each persisted
+  // pre-partitioned on `canon`, so the per-round exact anti-join re-uses
+  // the cached partitioning instead of re-shuffling the whole accumulated
+  // history every round (round-1 kept one ever-growing union — its
+  // lineage AND its shuffle grew with total-seen). The chain is collapsed
+  // into one partitioned cache every `collapseEvery` rounds to bound plan
+  // depth. The bloom bank is a partitioner-aware distributed RDD — see
+  // DistBloomBank (nothing bank-sized ever lands on the driver or gets
+  // broadcast).
+  private var seenParts: Vector[DataFrame] = Vector.empty
+  private var bankAcc: Option[DistBloomBank.Bank] = None
   private var stateAcc: Option[DataFrame] = None
+  private var lastStateCount: Long = 0L
   private var nextSeqAcc: Long = 0L
+  private val collapseEvery = 8
+  private val seenP = spark.sessionState.conf.numShufflePartitions
 
   /** Total URLs scheduled (= fetched+deduped) so far in this run. */
   def totalScheduled: Long = nextSeqAcc
@@ -138,9 +151,13 @@ final class Crawler(
     val resumeFrom = store.latestRound().map(_ + 1).getOrElse(0)
     if (resumeFrom > 0) { // resume: load cross-round state from the store
       val last = resumeFrom - 1
-      seenAcc = store.read(spark, "seen").map(_.select($"canonUrl".as("canon")).persist())
-      bankAcc = BloomBank.load(store.bloomPath(last))
-      stateAcc = Some(spark.read.parquet(store.tablePath("host_state", last)).persist())
+      seenParts = store.read(spark, "seen").map(df =>
+        df.select($"canonUrl".as("canon")).repartition(seenP, $"canon").persist()).toVector
+      bankAcc = DistBloomBank.load(spark, store.bloomPath(last), config.seenPartitions)
+        .map(_.persist())
+      val st = spark.read.parquet(store.tablePath("host_state", last)).persist()
+      lastStateCount = st.count()
+      stateAcc = Some(st)
       nextSeqAcc = store.manifestMetric(last, "next_seq").getOrElse(0L)
     }
     var round = resumeFrom
@@ -252,48 +269,78 @@ final class Crawler(
         .unionByName(newState)
       case None => newState
     }).persist()
-    timed(s"r$round host-state") { mergedState.count() }
+    lastStateCount = timed(s"r$round host-state") { mergedState.count() }
 
-    // fold the round's frontier into the in-flight seen set + bloom bank
-    val newBank = timed(s"r$round bloom-build") { BloomBank.build(
-      frontier.select($"canonUrl".as("canon")).toDF(),
-      "canon", config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp) }
-    bankAcc = Some(bankAcc.map(_.merge(newBank)).getOrElse(newBank))
-    val roundSeen = frontier.select($"canonUrl".as("canon")).toDF().persist()
-    val newSeen = seenAcc match {
-      case Some(old) => old.unionByName(roundSeen)
-      case None      => roundSeen
+    // fold the round's frontier into the seen chain (persisted partitioned
+    // on canon and MATERIALIZED now — both the anti-join and the round
+    // bank read it, and it must not lazily re-run the sequencer lineage
+    // after seqCache is dropped)
+    val roundSeen = frontier.select($"canonUrl".as("canon")).toDF()
+      .repartition(seenP, $"canon").persist()
+    timed(s"r$round seen-materialize") { roundSeen.count() }
+    seenParts :+= roundSeen
+
+    // bloom bank fold: build this round's bank from the cached roundSeen,
+    // then OR-merge into the accumulated bank — both narrow on the bank
+    // side (no driver collect, no broadcast, no bank-sized shuffle)
+    val roundBank = DistBloomBank.buildRound(roundSeen, "canon",
+      config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp).persist()
+    val mergedBank = bankAcc match {
+      case Some(old) => DistBloomBank.merge(old, roundBank).persist()
+      case None      => roundBank
     }
+    timed(s"r$round bloom-build") { mergedBank.count() }
+    if (!bankAcc.contains(mergedBank)) {
+      bankAcc.foreach(_.unpersist())
+      if (mergedBank ne roundBank) roundBank.unpersist()
+    }
+    bankAcc = Some(mergedBank)
 
     if (config.persistRounds)
       commitRound(round, frontier, results, mergedState,
         seqStart + frontierCount, frontierCount)
+
+    // bound the seen chain: collapse into one partitioned cache every
+    // `collapseEvery` rounds (plan depth + per-round join fan-in stay O(1))
+    if (seenParts.size > collapseEvery) {
+      val collapsed = seenParts.reduce(_.unionByName(_))
+        .repartition(seenP, $"canon").persist()
+      timed(s"r$round seen-collapse") { collapsed.count() }
+      seenParts.foreach(_.unpersist())
+      seenParts = Vector(collapsed)
+    }
 
     val materializedNext = next.persist()
     val nextCount = timed(s"r$round next-candidates") { materializedNext.count() }
     val oldState = stateAcc
     stateAcc = Some(mergedState)
     oldState.foreach(_.unpersist())
-    seenAcc = Some(newSeen)
     nextSeqAcc = seqStart + frontierCount
     outcome.unpersist()
     seqCache.unpersist()
     (materializedNext, nextCount)
   }
 
-  /** Bloom pre-filter (broadcast bank) + exact left-anti join against the
-    * in-flight seen set. mightContain=false short-circuits the join
-    * entirely; false positives are re-checked exactly, never dropped.
+  /** Bloom pre-filter (distributed partition-aligned probe — only the
+    * candidates shuffle, the bank never moves) + exact left-anti joins
+    * against the cached seen chain. mightContain=false short-circuits the
+    * exact tier entirely; false positives are re-checked exactly, never
+    * dropped. Each chain part is persisted already hash-partitioned on
+    * `canon`, so the per-round anti-joins never re-shuffle history — only
+    * the (bloom-surviving, small) candidate side moves. On a real cluster
+    * the exact tier would be an Iceberg table bucketed by canon-hash with
+    * storage-partitioned joins; the cached-partitioned chain is the
+    * in-memory equivalent.
     */
   private def antiJoinSeen(round: Int, cands: DataFrame): DataFrame = {
-    (bankAcc, seenAcc) match {
-      case (Some(bank), Some(seen)) =>
-        val bankB = spark.sparkContext.broadcast(bank)
-        val mightU = udf((canon: String) => bankB.value.mightContain(canon))
-        val flagged = cands.withColumn("maybe_seen", mightU($"canon"))
+    (bankAcc, seenParts) match {
+      case (Some(bank), parts) if parts.nonEmpty =>
+        val flagged = DistBloomBank.probe(cands, "canon", bank,
+          config.seenPartitions, "maybe_seen")
         val definitelyNew = flagged.filter(!$"maybe_seen")
-        val confirmed = flagged.filter($"maybe_seen")
-          .join(seen, Seq("canon"), "left_anti")
+        val confirmed = parts.foldLeft(flagged.filter($"maybe_seen")) {
+          (df, seen) => df.join(seen, Seq("canon"), "left_anti")
+        }
         definitelyNew.unionByName(confirmed).drop("maybe_seen")
       case _ => cands // first round of a fresh run
     }
@@ -374,8 +421,16 @@ final class Crawler(
     }
   }
 
-  /** Broadcast-hint small dimension sides (host-state starts tiny). */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+  /** Broadcast-hint the host-state side only while it is measurably small.
+    * The table grows with distinct (host, lane) — unconditional broadcast
+    * (round 1's behavior) would ship an unbounded table to every executor
+    * at a 10^10-URL frontier. Above the gate the plain join shuffles
+    * host-state once on (host, lane) — the same key the frontier is about
+    * to repartition on anyway.
+    */
+  private val broadcastStateMaxRows = 1000000L
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    if (lastStateCount < broadcastStateMaxRows) broadcast(df) else df
 
   /** Atomic snapshot commit of the round's five tables + bloom bank (all
     * inputs already computed/cached by runRound — this is write-only).
@@ -397,8 +452,9 @@ final class Crawler(
       sum(when($"status" =!= "fetched", 1L).otherwise(0L)).as("failed"))
 
     // bank saved before the manifest: an orphan bank of an uncommitted
-    // round is never read (readers resolve the bank via committed rounds)
-    bankAcc.foreach(_.save(store.bloomPath(round)))
+    // round is never read (readers resolve the bank via committed rounds).
+    // Distributed parquet write of (pid, filter) rows — nothing collected.
+    bankAcc.foreach(b => DistBloomBank.save(spark, b, store.bloomPath(round)))
 
     timed(s"r$round commit-tables") { store.commit(round,
       Map("docs" -> docs, "crawl_log" -> crawlLog, "seen" -> seen,

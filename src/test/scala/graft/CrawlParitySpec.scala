@@ -117,8 +117,10 @@ class CrawlParitySpec extends SparkSpec {
 
   test("bloom bank: no false negatives; pre-filter admits all seen urls") {
     val store = new graft.snapshot.SnapshotStore(storeRoot)
-    val bank = graft.frontier.BloomBank.load(store.bloomPath(1)).get
-    oracle.seen.foreach { u => assert(bank.mightContain(u), s"bloom false negative: $u") }
+    val bank = graft.frontier.DistBloomBank
+      .load(spark, store.bloomPath(1), config.seenPartitions).get
+    val local = graft.frontier.DistBloomBank.toLocal(bank, config.seenPartitions)
+    oracle.seen.foreach { u => assert(local.mightContain(u), s"bloom false negative: $u") }
   }
 
   test("metrics committed per partition per round") {
