@@ -121,18 +121,39 @@ object Dedup {
     * guard).
     */
   def ngramJaccardPairs(docs: DataFrame, shingleW: Int = 3,
-      threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxDf: Int = 1000,
+      joinParallelism: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (joinParallelism > 0) joinParallelism
+      else spark.sessionState.conf.numShufflePartitions
     val sets = docs.select(col("doc_id"),
       array_distinct(shingleCol(col("text"), shingleW)).as("sh"))
       .withColumn("setSize", size(col("sh")))
     val inv = sets.select(col("doc_id"), col("setSize"), explode(col("sh")).as("sh"))
-    val rare = inv.groupBy("sh").count().filter(col("count") <= maxDf).select("sh")
-    val filtered = inv.join(rare, Seq("sh"))
-    val a = filtered.select(col("sh"), col("doc_id").as("a"), col("setSize").as("sa"))
-    val b = filtered.select(col("sh"), col("doc_id").as("b"), col("setSize").as("sb"))
-    a.join(b, Seq("sh")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+    // inverted-index guard: drop degenerate hub shingles. Skipped entirely
+    // when capless (one less shuffle) — the exact-oracle contract query
+    // runs capless.
+    val filtered =
+      if (maxDf == Int.MaxValue) inv
+      else inv.join(inv.groupBy("sh").count().filter(col("count") <= maxDf).select("sh"),
+        Seq("sh"))
+    // EXPLICIT fixed-width repartition on the join key. The join inputs are
+    // tiny (one row per doc-shingle) but the join OUTPUT is quadratic in
+    // per-shingle df — AQE, which sizes partitions from the map-side input
+    // bytes, would coalesce the pre-join exchanges to a handful of
+    // partitions and run the pair expansion nearly serially. Pinning both
+    // children to the same (sh, p) layout means the planner inserts no
+    // further exchange and the expansion fans out across p tasks.
+    val parted = filtered.repartition(p, col("sh"))
+    // length filter (PPJoin-style, lossless): jaccard >= t forces
+    // t·max(|a|,|b|) <= min(|a|,|b|); pairs failing it never reach the
+    // aggregation
+    val a = parted.select(col("sh"), col("doc_id").as("a"), col("setSize").as("sa"))
+    val b = parted.select(col("sh"), col("doc_id").as("b"), col("setSize").as("sb"))
+    a.join(b, Seq("sh")).filter(col("a") < col("b") &&
+        greatest(col("sa"), col("sb")) * threshold <= least(col("sa"), col("sb")))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"), min(col("sa")).as("sa"), min(col("sb")).as("sb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
