@@ -74,9 +74,16 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as("key"))
     }
+    // explicit fixed-width repartition on the bucket key: (a) the guard
+    // groupBy, the guard join and the pair self-join all consume this one
+    // exchange (ReusedExchange — signatures are computed once, not three
+    // times), (b) AQE cannot coalesce the quadratic pair expansion into a
+    // few tasks based on the tiny pre-join input (see ngramJaccardPairs)
+    val p = sigs.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(p, col("band"), col("key"))
     // degenerate-bucket guard: a single hot (band, key) — e.g. empty or
     // boilerplate docs — would make the self-join below O(bucket²); skew
     // real corpora always have. Cap is recall-vs-cost rails like maxDf.
@@ -194,15 +201,15 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
-    // per (doc, bit) vote: +1 when the token hash has the bit set, −1 else
-    val votes = toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("i"))
-      .withColumn("vote", (expr("shiftrightunsigned(h, i)") % 2) * 2 - 1)
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("vote")).as("v"))
-    votes.groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("sig"))
+    // per-bit votes as `bits` parallel aggregates over ONE token explode —
+    // a (doc, bit) explode would multiply the shuffle 60×; this keeps one
+    // narrow row per token with map-side partial aggregation
+    val votes = (0 until bits).map(i =>
+      sum((shiftrightunsigned(col("h"), i) % 2) * 2 - 1).as(s"v_$i"))
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i =>
+          when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _).as("sig"))
   }
 
   /** SimHash near-dup pairs with a REAL Hamming guarantee: signatures are
@@ -227,8 +234,11 @@ object Dedup {
       struct(lit(q).as("q"),
         shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << w) - 1)).as("key"))
     }
+    // same exchange-sharing + anti-coalesce repartition as lshCandidatePairs
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = sigs.select(col("doc_id"), col("sig"), explode(array(blocks: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.q").as("q"), col("bk.key").as("key"))
+      .repartition(p, col("q"), col("key"))
     val small = keyed.groupBy(col("q"), col("key")).count()
       .filter(col("count") <= maxBucket).select(col("q"), col("key"))
     val guarded = keyed.join(small, Seq("q", "key"))
@@ -263,8 +273,10 @@ object Dedup {
     */
   def embeddingDupPairs(embeddings: DataFrame, dim: Int, planes: Int = 8,
       threshold: Double = 0.95, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = embeddings.withColumn("bucket",
-      Similarity.signBucketCol(col("embedding"), dim, planes, seed))
+        Similarity.signBucketCol(col("embedding"), dim, planes, seed))
+      .repartition(p, col("bucket"))
     val small = bucketed.groupBy(col("bucket")).count()
       .filter(col("count") <= maxBucket).select("bucket")
     val guarded = bucketed.join(small, Seq("bucket"))

@@ -91,8 +91,10 @@ object Similarity {
   def bucketedNeighbors(embeddings: DataFrame, dim: Int, k: Int = 5,
       nPlanes: Int = 8, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = embeddings.withColumn("bucket",
-      signBucketCol(col("embedding"), dim, nPlanes, seed))
+        signBucketCol(col("embedding"), dim, nPlanes, seed))
+      .repartition(p, col("bucket"))
     // degenerate-bucket guard (see Dedup.embeddingDupPairs): a hot bucket
     // would make the self-join quadratic; nPlanes is the primary scale knob
     val small = bucketed.groupBy(col("bucket")).count()
