@@ -16,7 +16,12 @@ final case class ParseOut(
     viewCount: Int,
     likeCount: Int,
     spans: Vector[Span],
-    outlinks: Vector[String])
+    outlinks: Vector[String],
+    /** Comment records with the metadata the reference carries on Comment
+      * (author, content, created_at, like_count — data_models.py:17-49);
+      * span flow keeps only the text, this side-table keeps the rest.
+      */
+    comments: Vector[graft.core.ParsedComment])
 
 /** Site-grammar parser registry — the Spark rebuild of the reference's
   * `ContentParser` ABC + `ParserRegistry` domain dispatch with
@@ -131,10 +136,12 @@ object PageParser {
     val parsedComments = comments.flatMap { c =>
       val text = CText.findFirstMatchIn(c).map(_.group(1).trim).getOrElse("")
       if (text.isEmpty) None
-      else Some((CAuthor.findFirstMatchIn(c).map(_.group(1)).getOrElse("익명"), text,
+      else Some(graft.core.ParsedComment(
+        CAuthor.findFirstMatchIn(c).map(_.group(1)).getOrElse("익명"), text,
+        createdAt = None, // fixture comment blocks carry no date (generic.py comments don't either)
         CLike.findFirstMatchIn(c).map(_.group(1).toInt).getOrElse(0)))
     }
-    parsedComments.foreach { case (_, text, _) => add("comment", text, null) }
+    parsedComments.foreach(pc => add("comment", pc.content, null))
 
     val author = firstMatch(html, AuthorSel(grammar))
     val dateStr = firstMatch(html, DateSel(grammar))
@@ -147,6 +154,7 @@ object PageParser {
       viewCount = extractCount(firstMatch(html, ViewSel(grammar))),
       likeCount = extractCount(firstMatch(html, LikeSel(grammar))),
       spans = spans.result(),
-      outlinks = outlinks))
+      outlinks = outlinks,
+      comments = parsedComments))
   }
 }

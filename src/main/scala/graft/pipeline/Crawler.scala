@@ -52,6 +52,7 @@ final case class FetchParseRow(
     like_count: Int,
     spans: Seq[Span],
     outlinks: Seq[String],
+    comments: Seq[ParsedComment],
     partitionId: Int)
 
 /** The Spark-native crawl engine (BASELINE.json north rule): URL frontier +
@@ -402,14 +403,15 @@ final class Crawler(
               FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "fetched",
                 attempts, parsed.title, parsed.author,
                 parsed.createdAt.map(java.sql.Timestamp.valueOf).orNull,
-                parsed.viewCount, parsed.likeCount, parsed.spans, parsed.outlinks, pid)
+                parsed.viewCount, parsed.likeCount, parsed.spans, parsed.outlinks,
+                parsed.comments, pid)
             case None =>
               FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "parse_failed",
-                attempts, "", "", null, 0, 0, Seq.empty, Seq.empty, pid)
+                attempts, "", "", null, 0, 0, Seq.empty, Seq.empty, Seq.empty, pid)
           }
         } else {
           FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, status, attempts,
-            "", "", null, 0, 0, Seq.empty, Seq.empty, pid)
+            "", "", null, 0, 0, Seq.empty, Seq.empty, Seq.empty, pid)
         }
         (row, null.asInstanceOf[HostState])
       }
@@ -441,7 +443,7 @@ final class Crawler(
     val docs = results.filter($"status" === "fetched")
       .select($"round", $"seq", $"canonUrl".as("doc_id"), $"url", $"host".as("site"),
         $"keyword", $"title", $"author", $"created_at", $"view_count", $"like_count",
-        $"spans", $"outlinks")
+        $"spans", $"outlinks", $"comments")
     val crawlLog = results.select($"round", $"seq", $"url", $"canonUrl", $"host",
       $"status", $"attempts")
     val seen = frontier.select($"round", $"seq", $"canonUrl", $"host")

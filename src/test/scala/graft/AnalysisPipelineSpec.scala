@@ -12,7 +12,8 @@ final case class TestDoc(
     round: Int, seq: Long, doc_id: String, url: String, site: String,
     keyword: String, title: String, author: String,
     created_at: java.sql.Timestamp, view_count: Int, like_count: Int,
-    spans: Seq[Span], outlinks: Seq[String])
+    spans: Seq[Span], outlinks: Seq[String],
+    comments: Seq[graft.core.ParsedComment])
 
 /** Distributed analysis layer vs driver-side replicas of the reference
   * semantics, over a parsed fixture corpus (no crawl needed — parse is
@@ -36,7 +37,7 @@ class AnalysisPipelineSpec extends SparkSpec {
         out += TestDoc(0, seq, canon, url, host,
           Fixtures.Keywords(i % 3), p.title, p.author,
           p.createdAt.map(java.sql.Timestamp.valueOf).orNull,
-          p.viewCount, p.likeCount, p.spans, p.outlinks)
+          p.viewCount, p.likeCount, p.spans, p.outlinks, p.comments)
         seq += 1
       }
     }
@@ -208,11 +209,39 @@ class AnalysisPipelineSpec extends SparkSpec {
     graft.sinks.Exporters.writeJson(view, s"$dir/json")
     assert(spark.read.json(s"$dir/json").count() == docsLocal.size)
     graft.sinks.Exporters.writeCsv(view, s"$dir/posts", s"$dir/comments")
+    val posts = spark.read.option("header", "true").csv(s"$dir/posts")
+    // reference CSVExporter fieldnames, exporters.py:144-147
+    assert(posts.columns.toSeq == Seq("url", "title", "body", "site", "keyword",
+      "author", "created_at", "view_count", "like_count", "comment_count"))
     val comments = spark.read.option("header", "true").csv(s"$dir/comments")
     assert(comments.count() == docsLocal.map(d => commentsOf(d).size.toLong).sum)
+    // reference comment fieldnames incl. metadata, exporters.py:176
+    assert(comments.columns.toSeq ==
+      Seq("post_url", "author", "content", "created_at", "like_count"))
+    val wantAuthors = docsLocal.flatMap(_.comments.map(_.author)).sorted
+    val gotAuthors = comments.select("author").as[String].collect().toVector.sorted
+    assert(gotAuthors == wantAuthors)
+    val wantLikes = docsLocal.flatMap(_.comments.map(_.likeCount.toLong)).sum
+    assert(comments.agg(sum($"like_count".cast("long"))).head().getLong(0) == wantLikes)
     graft.sinks.Exporters.writeByDate(view, s"$dir/bydate")
     val bydate = spark.read.parquet(s"$dir/bydate")
     assert(bydate.count() == docsLocal.size)
     assert(bydate.select("dt").distinct().count() > 1)
+  }
+
+  test("quicksight export: comment table carries reference fieldnames + dense ids") {
+    val dir = tempDir("graft-qs")
+    val view = Dashboard.postsView(docs)
+    val issues = spark.createDataset(
+      Issues.detectIssues(spark, Keywords.withPostKeywords(view))).toDF()
+    graft.sinks.Exporters.writeQuickSight(view, issues, dir, gameId = "g1")
+    val comments = spark.read.option("header", "true").csv(s"$dir/comments")
+    assert(comments.columns.toSeq == Seq("comment_id", "post_url", "author",
+      "content", "created_at", "like_count", "game_id"))
+    val n = docsLocal.map(_.comments.size.toLong).sum
+    assert(comments.count() == n)
+    // dense deterministic ids g1_c0..g1_c{n-1} (quicksight_exporter.py:188)
+    val ids = comments.select("comment_id").as[String].collect().toSet
+    assert(ids == (0L until n).map(i => s"g1_c$i").toSet)
   }
 }

@@ -22,7 +22,7 @@ class StreamingSpec extends SparkSpec {
         TestDoc(0, i.toLong, canon, canon, Fixtures.Hosts(i % 12),
           Fixtures.Keywords(i % 3), p.title, p.author,
           p.createdAt.map(java.sql.Timestamp.valueOf).orNull,
-          p.viewCount, p.likeCount, p.spans, p.outlinks)
+          p.viewCount, p.likeCount, p.spans, p.outlinks, p.comments)
       }
     }
     spark.createDataset(rows).write.parquet(dir)
