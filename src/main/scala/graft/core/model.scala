@@ -99,6 +99,8 @@ final case class CrawlConfig(
     relevanceThreshold: Double = 0.5,
     maxResultsPerSite: Int = 10,
     jitterEnabled: Boolean = false, // parity mode: jitter off (rate_limiter.py:107-114)
+    jitterMin: Double = 0.5,       // U(min,max) added per wait when enabled
+    jitterMax: Double = 2.0,       // (rate_limiter.py:56-57 defaults)
     maxRounds: Int = 2,
     seenPartitions: Int = 32,      // bloom bank width; scale knob (10^10 URLs → raise)
     saltFactor: Int = 1,           // >1 splits hot hosts across lanes (bench mode only)

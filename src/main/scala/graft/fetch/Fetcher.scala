@@ -41,6 +41,13 @@ object SyntheticFetcher extends Fetcher {
   *    last request (wait(), :163-211) — here advanced on a VIRTUAL clock
   *    (no sleeping; ordering and state transitions are what parity needs,
   *    wall-clock pacing is a deployment concern behind the same API);
+  *  - jitter (F15, :136-153 + :186-190): when enabled, each wait adds
+  *    U(jitterMin, jitterMax) to the base delay. The reference draws from
+  *    `random`; here the draw is a seeded splitmix over (clock seed, draw
+  *    ordinal) — identically distributed, but reproducible, so a crawl
+  *    with jitter is still resumable/deterministic (engine-wide
+  *    invariant). Parity mode keeps jitter off, like the reference's
+  *    set_jitter_enabled(False) (:107-114);
   *  - HTTP 429 increments the host retry counter; counter > max_retries
   *    suspends the host permanently for the run (:213-257), else waits
   *    2^retry seconds and retries the SAME url (content_crawler.py:143-152,
@@ -54,17 +61,35 @@ object SyntheticFetcher extends Fetcher {
   * lanes (bench mode), each lane paces at delay*k so the aggregate per-host
   * budget is preserved (SURVEY §7.4.4).
   */
-final class HostClock(delay: Double, maxRetries: Int) extends Serializable {
+final class HostClock(delay: Double, maxRetries: Int,
+    jitter: Option[(Double, Double)] = None, seedKey: Long = 0L) extends Serializable {
   var virtualTime: Double = 0.0
   var retryCount: Int = 0
   var suspended: Boolean = false
+  var drawCount: Long = 0L
+
+  /** One wait(): base delay + optional seeded-uniform jitter; returns the
+    * effective delay applied (tested against the reference's
+    * [base+min, base+max] bound property).
+    */
+  def waitOnce(): Double = {
+    val d = jitter match {
+      case Some((lo, hi)) =>
+        val u = HostClock.unitDouble(graft.fixtures.Fixtures.mix(seedKey, drawCount))
+        drawCount += 1
+        delay + lo + u * (hi - lo)
+      case None => delay
+    }
+    virtualTime += d
+    d
+  }
 
   /** Returns (status, attempts, html): status ∈ fetched|fetch_failed|suspended. */
   def fetchOne(fetcher: Fetcher, canonUrl: String): (String, Int, String) = {
     if (suspended) return ("suspended", 0, "")
     var attempt = 1
     while (true) {
-      virtualTime += delay // wait() before every attempt
+      waitOnce() // wait() before every attempt
       val resp = fetcher.fetch(canonUrl, attempt)
       resp.status match {
         case 200 =>
@@ -84,4 +109,9 @@ final class HostClock(delay: Double, maxRetries: Int) extends Serializable {
     }
     throw new IllegalStateException("unreachable")
   }
+}
+
+object HostClock {
+  /** Uniform [0, 1) from a 64-bit hash (53 mantissa bits). */
+  def unitDouble(h: Long): Double = (h >>> 11) * 1.1102230246251565e-16
 }

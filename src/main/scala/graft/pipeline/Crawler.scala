@@ -22,7 +22,7 @@ final case class Candidate(url: String, keyword: String, ord0: Long, ord1: Int)
   * reference RateLimiter's retry/suspension dicts live for the whole crawl
   * — rate_limiter.py:213-303 — so they must survive round boundaries).
   */
-final case class HostState(host: String, lane: Int, retryCount: Int, suspended: Boolean, virtualTime: Double)
+final case class HostState(host: String, lane: Int, retryCount: Int, suspended: Boolean, virtualTime: Double, drawCount: Long)
 
 /** Frontier entry enriched with its salt lane and its (host, lane)'s
   * checkpointed scheduler state. The politeness clock is keyed by
@@ -33,7 +33,7 @@ final case class HostState(host: String, lane: Int, retryCount: Int, suspended: 
   */
 final case class FrontierWithState(
     round: Int, seq: Long, url: String, canonUrl: String, host: String, keyword: String,
-    lane: Int, initRetry: Int, initSusp: Boolean, initVt: Double)
+    lane: Int, initRetry: Int, initSusp: Boolean, initVt: Double, initDraw: Long)
 
 /** Output of the fused fetch+parse stage for one frontier entry. */
 final case class FetchParseRow(
@@ -370,16 +370,16 @@ final class Crawler(
     val priorState: DataFrame = stateAcc
       .getOrElse(spark.emptyDataset[HostState].toDF())
       .select($"host", $"lane", $"retryCount".as("initRetry"), $"suspended".as("initSusp"),
-        $"virtualTime".as("initVt"))
+        $"virtualTime".as("initVt"), $"drawCount".as("initDraw"))
 
     val parted = frontier.toDF()
       .withColumn("lane", saltCol)
       .join(broadcastIfSmall(priorState), Seq("host", "lane"), "left")
-      .na.fill(Map("initRetry" -> 0, "initVt" -> 0.0)).na.fill(false, Seq("initSusp"))
+      .na.fill(Map("initRetry" -> 0, "initVt" -> 0.0, "initDraw" -> 0L)).na.fill(false, Seq("initSusp"))
       .repartition(p, $"host", $"lane")
       .sortWithinPartitions($"seq")
       .select($"round", $"seq", $"url", $"canonUrl", $"host", $"keyword", $"lane",
-        $"initRetry", $"initSusp", $"initVt")
+        $"initRetry", $"initSusp", $"initVt", $"initDraw")
       .as[FrontierWithState]
 
     val rb = robotsB; val cb = cfgB; val f = fetcher; val r = round
@@ -392,8 +392,11 @@ final class Crawler(
         val delay = robots.get(e.host).map(_.crawlDelay).getOrElse(cfg.defaultDelay) *
           math.max(1, cfg.saltFactor)
         val clock = clocks.getOrElseUpdate((e.host, e.lane), {
-          val c = new HostClock(delay, cfg.maxRetries)
-          c.retryCount = e.initRetry; c.suspended = e.initSusp; c.virtualTime = e.initVt
+          val c = new HostClock(delay, cfg.maxRetries,
+            jitter = if (cfg.jitterEnabled) Some((cfg.jitterMin, cfg.jitterMax)) else None,
+            seedKey = UrlCanon.hash64(e.host) ^ e.lane.toLong)
+          c.retryCount = e.initRetry; c.suspended = e.initSusp
+          c.virtualTime = e.initVt; c.drawCount = e.initDraw
           c
         })
         val (status, attempts, html) = clock.fetchOne(f, e.canonUrl)
@@ -418,7 +421,7 @@ final class Crawler(
       // trailing state rows, materialized lazily after the partition drains
       mapped ++ clocks.iterator.map { case ((host, lane), c) =>
         (null.asInstanceOf[FetchParseRow],
-          HostState(host, lane, c.retryCount, c.suspended, c.virtualTime))
+          HostState(host, lane, c.retryCount, c.suspended, c.virtualTime, c.drawCount))
       }
     }
   }
