@@ -98,7 +98,17 @@ object PageParser {
   private val CLike = """<span class="clike">(\d+)</span>""".r
   private val Outlink = """<a href="(.*?)">""".r
   private val Digits = """\d[\d,]*""".r
+  // date-string ladder, tried in the reference's order (F4):
+  //   1. ISO datetime attr incl. trailing 'Z' → fromisoformat semantics
+  //      (generic.py:215-219, inven.py:203-207)
+  //   2. YYYY sep M sep D [H:MM] (generic.py:233, inven.py:221-222)
+  //   3. M sep D sep YYYY (generic.py:234 — US order, year last)
+  //   4. YY sep M sep D → year + 2000 (inven.py:223,232-240)
+  private val IsoPat =
+    """(\d{4})-(\d{2})-(\d{2})[tT](\d{2}):(\d{2})(?::(\d{2}))?(?:[zZ]|[+-]\d{2}:\d{2})?""".r
   private val DatePat = """(\d{4})[.\-/](\d{1,2})[.\-/](\d{1,2})(?:[ T](\d{1,2}):(\d{2}))?""".r
+  private val MdyPat = """(\d{1,2})[.\-/](\d{1,2})[.\-/](\d{4})""".r
+  private val YyPat = """(\d{2})[.\-](\d{1,2})[.\-](\d{1,2})""".r // date-only, like inven.py:223
 
   private def firstMatch(html: String, sels: Seq[Regex]): String =
     sels.iterator.flatMap(_.findFirstMatchIn(html)).map(_.group(1).trim).find(_.nonEmpty).getOrElse("")
@@ -106,15 +116,28 @@ object PageParser {
   private def extractCount(s: String): Int =
     Digits.findFirstIn(s).map(_.replace(",", "").toInt).getOrElse(0)
 
-  private def parseDate(s: String): Option[java.time.LocalDateTime] =
-    DatePat.findFirstMatchIn(s).flatMap { m =>
-      try {
-        val (y, mo, d) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
-        val hh = Option(m.group(4)).map(_.toInt).getOrElse(0)
-        val mi = Option(m.group(5)).map(_.toInt).getOrElse(0)
-        Some(java.time.LocalDateTime.of(y, mo, d, hh, mi))
-      } catch { case _: Exception => None }
+  private def ldt(y: Int, mo: Int, d: Int, hh: Int = 0, mi: Int = 0, ss: Int = 0) =
+    try Some(java.time.LocalDateTime.of(y, mo, d, hh, mi, ss))
+    catch { case _: Exception => None } // ValueError → fall through, like the reference
+
+  private[graft] def parseDate(s: String): Option[java.time.LocalDateTime] = {
+    val iso = IsoPat.findFirstMatchIn(s).flatMap { m =>
+      ldt(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toInt, m.group(5).toInt, Option(m.group(6)).map(_.toInt).getOrElse(0))
     }
+    def ymd = DatePat.findFirstMatchIn(s).flatMap { m =>
+      ldt(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
+        Option(m.group(4)).map(_.toInt).getOrElse(0),
+        Option(m.group(5)).map(_.toInt).getOrElse(0))
+    }
+    def mdy = MdyPat.findFirstMatchIn(s).flatMap { m =>
+      ldt(m.group(3).toInt, m.group(1).toInt, m.group(2).toInt)
+    }
+    def yy = YyPat.findFirstMatchIn(s).flatMap { m =>
+      ldt(m.group(1).toInt + 2000, m.group(2).toInt, m.group(3).toInt)
+    }
+    iso.orElse(ymd).orElse(mdy).orElse(yy)
+  }
 
   private def parseGrammar(html: String, grammar: String): Option[ParseOut] = {
     val title = firstMatch(html, TitleSel(grammar))

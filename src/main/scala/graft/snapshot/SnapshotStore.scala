@@ -81,4 +81,16 @@ final class SnapshotStore(val root: String) {
     if (rounds.isEmpty) None
     else Some(rounds.map(r => spark.read.parquet(tablePath(table, r))).reduce(_.unionByName(_)))
   }
+
+  /** Bulk load with provenance: the reference dashboard tags every loaded
+    * row with its source file (`_source_file`, dashboard/app.py:32-55).
+    * Spark-native equivalent: `input_file_name()` evaluated inside the
+    * scan — zero-cost, partition-local, no driver-side file loop.
+    */
+  def readTagged(spark: SparkSession, table: String,
+      maxRound: Int = Int.MaxValue): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{element_at, input_file_name, split}
+    read(spark, table, maxRound).map(_.withColumn("_source_file",
+      element_at(split(input_file_name(), "/"), -1)))
+  }
 }

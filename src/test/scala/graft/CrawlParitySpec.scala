@@ -123,6 +123,15 @@ class CrawlParitySpec extends SparkSpec {
     oracle.seen.foreach { u => assert(local.mightContain(u), s"bloom false negative: $u") }
   }
 
+  test("bulk load tags rows with their source file (S6, app.py:32-55)") {
+    import spark.implicits._
+    val store = new graft.snapshot.SnapshotStore(storeRoot)
+    val tagged = store.readTagged(spark, "docs").get
+    val files = tagged.select("_source_file").as[String].collect()
+    assert(files.nonEmpty && files.forall(f => f.nonEmpty && f.endsWith(".parquet")))
+    assert(tagged.count() == store.read(spark, "docs").get.count())
+  }
+
   test("metrics committed per partition per round") {
     val m = spark.read.parquet(s"$storeRoot/data/metrics/round=0", s"$storeRoot/data/metrics/round=1")
     assert(m.count() > 0)
