@@ -98,7 +98,8 @@ object Issues {
     * cluster index).
     */
   def detectIssues(spark: SparkSession, docs: DataFrame,
-      topN: Int = 50, simThreshold: Double = 0.5): Vector[Issue] = {
+      topN: Int = 50, simThreshold: Double = 0.5,
+      maxRelated: Int = 1000): Vector[Issue] = {
     import spark.implicits._
 
     val withKw = docs.persist()
@@ -130,13 +131,23 @@ object Issues {
         $"created_at", $"sentiment_score")
       .distinct()
 
+    // `related` is unbounded in corpus size (a hot cluster can match
+    // millions of docs): rank within each cluster by crawl order and keep
+    // only the first maxRelated BEFORE any list is materialized — the
+    // window sort spills, a collect_list of the full cluster would not
+    val wRel = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_idx").orderBy($"seq")
+    val related = matches
+      .withColumn("__rk", row_number().over(wRel)).filter($"__rk" <= maxRelated)
+      .groupBy($"cluster_idx")
+      .agg(sort_array(collect_list(struct($"seq", $"doc_id"))).as("related"))
     val stats = matches.groupBy($"cluster_idx").agg(
       count(lit(1)).as("post_count"),
       sum($"view_count").as("total_views"),
       sum($"n_comments").as("total_comments"),
       avg($"sentiment_score").as("sentiment_avg"),
-      min($"created_at").as("first_seen"),
-      sort_array(collect_list(struct($"seq", $"doc_id"))).as("related"))
+      min($"created_at").as("first_seen"))
+      .join(related, Seq("cluster_idx"))
       .collect()
       .map(r => r.getInt(0) -> r).toMap
 
