@@ -107,18 +107,36 @@ final class Crawler(
   private val robotsB = spark.sparkContext.broadcast(Fixtures.robotsMap)
   private val cfgB = spark.sparkContext.broadcast(config)
 
-  // ---- pure column helpers: canonicalization is a native Catalyst
-  //      expression (codegen — graft.functions.CanonicalizeUrl); the
-  //      robots check stays a UDF (closure over the broadcast rule map) --
+  // ---- pure column helpers, all UDF-free (codegen stays unbroken):
+  //      canonicalization is a native Catalyst expression
+  //      (graft.functions.CanonicalizeUrl); host/path are regexp_extract
+  //      over the (already lowercase, fragment-free) canonical form with
+  //      semantics identical to UrlCanon.host/path; the robots check is a
+  //      broadcast join against the (tiny) rules table + a native exists()
+  //      over the disallow-prefix array.
   private def canonU(c: org.apache.spark.sql.Column) = graft.functions.functions.canon_url(c)
-  private val hostU = udf((u: String) => UrlCanon.host(u))
-  private val disallowedU = {
-    val rb = robotsB
-    udf((canon: String) => {
-      val h = UrlCanon.host(canon); val p = UrlCanon.path(canon)
-      rb.value.get(h).exists(_.disallow.exists(p.startsWith))
-    })
+  private def hostCol(canon: Column): Column =
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+  private def pathCol(canon: Column): Column =
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+  /** (host, disallow prefixes) rules table — broadcast side of the robots
+    * filter (rule sets are KB-sized even for huge crawls).
+    */
+  private val robotsDF = {
+    val rules = Fixtures.robotsMap.values.toSeq.map(r => (r.host, r.disallow))
+    spark.createDataFrame(rules).toDF("host", "__disallow")
   }
+
+  /** Robots disallow filter: left-join the rules, drop candidates whose
+    * path starts with any disallowed prefix (no rules → allowed).
+    */
+  private def filterAllowed(cands: DataFrame): DataFrame =
+    cands
+      .join(broadcast(robotsDF), Seq("host"), "left")
+      .withColumn("__path", pathCol($"canon"))
+      .filter(!coalesce(expr("exists(__disallow, d -> startswith(__path, d))"), lit(false)))
+      .drop("__disallow", "__path")
 
   // Cross-round in-flight state. During a run, the seen set / bloom bank /
   // host scheduler state / next sequence id flow in memory (cached
@@ -213,9 +231,9 @@ final class Crawler(
 
   /** One crawl round; returns (next round's candidates, their count). */
   def runRound(round: Int, candidates: Dataset[Candidate]): (Dataset[Candidate], Long) = {
-    val cands = candidates.toDF()
+    val cands = filterAllowed(candidates.toDF()
       .withColumn("canon", canonU($"url"))
-      .filter(!disallowedU($"canon"))
+      .withColumn("host", hostCol($"canon")))
 
     // within-round first-wins dedup on canonical URL (W4): keep the
     // earliest discovery (url_deduplicator.py:40-62 keeps the original URL)
@@ -236,7 +254,7 @@ final class Crawler(
       Sequencer.addSeq(fresh, Seq(col("ord0"), col("ord1")), "seq", seqStart)
     }
     fresh.unpersist() // seqCache is materialized by addSeq's count pass
-    val sequenced = sequencedRaw.withColumn("host", hostU($"canon"))
+    val sequenced = sequencedRaw // host column flows from the candidate stage
 
     val frontier = sequenced.select(
       lit(round).as("round"), $"seq", $"url", $"canon".as("canonUrl"), $"host", $"keyword")
