@@ -90,6 +90,46 @@ final class SearchManager(adapters: IndexedSeq[SearchAdapter]) {
   }
 }
 
+/** Seed acquisition through the failover manager — the engine's S1-S3
+  * source stage (the reference's orchestrator does search→seed before
+  * crawling, orchestrator.py:172-203). Each (site, keyword) query is one
+  * manager.search call, preserving the reference's per-query failover
+  * granularity; results keep the canonical seed ordering (site order,
+  * then adapter result order) via re-assigned seq.
+  */
+object SeedSource {
+  def acquire(manager: SearchManager, sites: Seq[String], keywords: Seq[String],
+      maxResultsPerSite: Int, now: Double = 0.0): IndexedSeq[SeedRecord] = {
+    val out = IndexedSeq.newBuilder[SeedRecord]
+    var seq = 0L
+    sites.foreach { site =>
+      val rs = manager.search(keywords, site, maxResultsPerSite, now)
+      rs.foreach { r => out += r.copy(seq = seq); seq += 1 }
+    }
+    out.result()
+  }
+}
+
+/** Fixtures-backed adapter: serves the deterministic seed corpus filtered
+  * by site — the sandbox's stand-in for a real search engine (S1-S3),
+  * with the same throttle/failover surface.
+  */
+final class FixtureSearchAdapter(
+    val name: String,
+    corpus: IndexedSeq[SeedRecord],
+    failures: Map[Int, Boolean] = Map.empty,
+    cooldown: Double = 300.0) extends ThrottlingAdapter(cooldown) {
+  private var calls = 0
+  def callCount: Int = calls
+  override protected def doSearch(keywords: Seq[String], site: String,
+      maxResults: Int, now: Double): Seq[SeedRecord] = {
+    val n = calls; calls += 1
+    failures.get(n).foreach(rate =>
+      throw SearchError(name, if (rate) "HTTP 429 rate limit" else "boom", rate))
+    corpus.filter(_.site == site).take(maxResults)
+  }
+}
+
 /** Deterministic synthetic adapter for tests/benches: optional scripted
   * failures per call ordinal (rate-limited or plain), otherwise `results`.
   */
