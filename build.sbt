@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq ++
+  // batch-throughput collector option for bench runs (G1 is the JDK17
+  // default; Parallel often wins on allocation-heavy batch jobs)
+  (if (sys.env.contains("GRAFT_PARALLELGC")) Seq("-XX:+UseParallelGC") else Seq.empty) ++
   // bench stability: first-touch of a large heap hits the microVM host's
   // lazy page-provisioning slow path (observed one-off 10-15x stage
   // stalls); pre-touching moves that cost to JVM startup

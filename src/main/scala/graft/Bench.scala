@@ -45,7 +45,7 @@ object Bench {
     val seeds = spark.range(nSeeds)
       .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 200000, nHosts = 1024))
     val cfg = graft.core.CrawlConfig(maxRounds = 2, seenPartitions = cpus.toInt,
-      saltFactor = 8, bloomExpectedPerPartition = 2000000L)
+      saltFactor = 32, bloomExpectedPerPartition = 2000000L)
     val t0 = System.nanoTime()
     new graft.pipeline.Crawler(spark, cfg, store).run(seeds)
     val crawlSec = (System.nanoTime() - t0) / 1e9

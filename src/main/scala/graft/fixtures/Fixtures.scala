@@ -81,8 +81,23 @@ object Fixtures {
     "season", "guild", "raid", "meta", "build", "combo", "rank", "patch", "event", "server")
   private val AllWords = NeutralWords ++ PositiveWords ++ NegativeWords ++ BugWords
 
-  def words(h: Long, n: Int, tag: Long): String =
-    (0 until n).map(i => AllWords(bounded(mix(h, tag, i.toLong), AllWords.length))).mkString(" ")
+  def words(h: Long, n: Int, tag: Long): String = {
+    val sb = new java.lang.StringBuilder(n * 8)
+    appendWords(sb, h, n, tag)
+    sb.toString
+  }
+
+  /** Byte-identical to words(), appended in place (the page generator is
+    * memory-bandwidth-sensitive at bench scale — no intermediate seqs).
+    */
+  def appendWords(sb: java.lang.StringBuilder, h: Long, n: Int, tag: Long): Unit = {
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(AllWords(bounded(mix(h, tag, i.toLong), AllWords.length)))
+      i += 1
+    }
+  }
 
   // ---- robots / politeness fixtures --------------------------------------
   /** Per-host crawl-delay + disallow prefixes. Default delay 3.0 mirrors
@@ -217,8 +232,7 @@ object Fixtures {
     val sizeMul = if (host.startsWith("host")) 8 else 1
     val nSegs = (1 + bounded(mix(h, 34L), 3)) * sizeMul // 1..3 (×8 bench) body segments
     val nMedia = nSegs - 1 + (if (chance(mix(h, 35L), 0.3)) 1 else 0) // imgs between/after segs
-    val segs = (0 until nSegs).map(i => words(h, 12 + bounded(mix(h, 36L, i.toLong), 20), mix(40L, i.toLong)))
-    val media = (0 until nMedia).map(i => s"https://cdn.example.org/img/${bounded(mix(h, 37L, i.toLong), 100000)}.jpg")
+
     val author = "user" + bounded(mix(h, 38L), 5000)
     val y = 2024; val mo = 1 + bounded(mix(h, 39L), 12); val d = 1 + bounded(mix(h, 41L), 28)
     val hh = bounded(mix(h, 42L), 24); val mi = bounded(mix(h, 43L), 60)
@@ -238,10 +252,17 @@ object Fixtures {
     }
 
     // interleave: seg0 img0 seg1 img1 ... (+ trailing img if nMedia==nSegs)
-    val bodyFlow = new StringBuilder
+    // — appended in place, no per-segment intermediate strings
+    val bodyFlow = new java.lang.StringBuilder(nSegs * 280 + nMedia * 48)
     (0 until math.max(nSegs, nMedia)).foreach { i =>
-      if (i < nSegs) bodyFlow.append(s"<p>${segs(i)}</p>\n")
-      if (i < nMedia) bodyFlow.append(s"""<img src="${media(i)}">""").append("\n")
+      if (i < nSegs) {
+        bodyFlow.append("<p>")
+        appendWords(bodyFlow, h, 12 + bounded(mix(h, 36L, i.toLong), 20), mix(40L, i.toLong))
+        bodyFlow.append("</p>\n")
+      }
+      if (i < nMedia)
+        bodyFlow.append("<img src=\"https://cdn.example.org/img/")
+          .append(bounded(mix(h, 37L, i.toLong), 100000)).append(".jpg\">\n")
     }
     val commentHtml = comments.map { case (a, c, l) =>
       s"""<div class="comment"><span class="author">$a</span><p class="ctext">$c</p><span class="clike">$l</span></div>"""

@@ -113,6 +113,64 @@ object PageParser {
   private def firstMatch(html: String, sels: Seq[Regex]): String =
     sels.iterator.flatMap(_.findFirstMatchIn(html)).map(_.group(1).trim).find(_.nonEmpty).getOrElse("")
 
+  /** Single-pass metadata scanner: the five selector ladders (title,
+    * author, date, views, likes) of one grammar fused into ONE regex
+    * alternation, scanned once per page instead of five+ separate
+    * full-document scans — the parser is memory-bandwidth-bound at crawl
+    * bench scale. Semantics are identical to the per-ladder firstMatch:
+    * each slot keeps its FIRST document occurrence (alternatives start
+    * with distinct literals, so per-position ambiguity is impossible),
+    * and ladder priority + trim/nonEmpty fallback are applied on the
+    * collected slots afterwards.
+    */
+  private final class MetaScan(ladders: Seq[Seq[String]]) {
+    private val flat: Array[String] = ladders.flatten.toArray
+    private val ladderOffsets: Array[(Int, Int)] = {
+      var off = 0
+      ladders.map { l => val r = (off, l.length); off += l.length; r }.toArray
+    }
+    private val pattern = java.util.regex.Pattern.compile(flat.mkString("|"))
+
+    /** found(i) = first occurrence of slot i's capture, or null. */
+    def scan(html: String): Array[String] = {
+      val found = new Array[String](flat.length)
+      var remaining = flat.length
+      val m = pattern.matcher(html)
+      while (remaining > 0 && m.find()) {
+        var g = 0
+        while (g < flat.length) {
+          if (found(g) == null && m.group(g + 1) != null) {
+            found(g) = m.group(g + 1); remaining -= 1
+          }
+          g += 1
+        }
+      }
+      found
+    }
+
+    /** firstMatch semantics over ladder `i`: first ladder entry whose
+      * first occurrence trims non-empty.
+      */
+    def value(found: Array[String], i: Int): String = {
+      val (off, len) = ladderOffsets(i)
+      var k = 0
+      while (k < len) {
+        val v = found(off + k)
+        if (v != null) { val t = v.trim; if (t.nonEmpty) return t }
+        k += 1
+      }
+      ""
+    }
+  }
+
+  private val MetaScans: Map[String, MetaScan] =
+    Seq("inven", "ruliweb", "dcinside", "generic").map { g =>
+      g -> new MetaScan(Seq(
+        TitleSel(g).map(_.pattern.pattern), AuthorSel(g).map(_.pattern.pattern),
+        DateSel(g).map(_.pattern.pattern), ViewSel(g).map(_.pattern.pattern),
+        LikeSel(g).map(_.pattern.pattern)))
+    }.toMap
+
   private def extractCount(s: String): Int =
     Digits.findFirstIn(s).map(_.replace(",", "").toInt).getOrElse(0)
 
@@ -140,9 +198,12 @@ object PageParser {
   }
 
   private def parseGrammar(html: String, grammar: String): Option[ParseOut] = {
-    val title = firstMatch(html, TitleSel(grammar))
-    val content = ContentSel(grammar).iterator
-      .flatMap(_.findFirstMatchIn(html)).map(_.group(1)).find(_.trim.nonEmpty).getOrElse("")
+    val meta = MetaScans(grammar)
+    val found = meta.scan(html)
+    val title = meta.value(found, 0)
+    val contentMatch = ContentSel(grammar).iterator
+      .flatMap(_.findFirstMatchIn(html)).find(_.group(1).trim.nonEmpty)
+    val content = contentMatch.map(_.group(1)).getOrElse("")
     if (title.isEmpty && content.isEmpty) return None
 
     val spans = Vector.newBuilder[Span]
@@ -153,9 +214,16 @@ object PageParser {
       if (m.group(1) != null) { val t = m.group(1).trim; if (t.nonEmpty) add("body", t, null) }
       else add("media", null, m.group(2))
     }
-    // comments follow the body flow in document order
-    val commentRegion = html.substring(html.indexOf(content) match { case -1 => 0; case i => i })
-    val comments = CommentBlock.findAllMatchIn(commentRegion).map(_.group(1)).toVector
+    // comments follow the body flow in document order; scan from the
+    // content position via a matcher REGION (no 16 KB substring copy)
+    val regionStart = contentMatch.map(_.start(1)).getOrElse(0)
+    val cm = CommentBlock.pattern.matcher(html)
+    cm.region(regionStart, html.length)
+    val comments = {
+      val b = Vector.newBuilder[String]
+      while (cm.find()) b += cm.group(1)
+      b.result()
+    }
     val parsedComments = comments.flatMap { c =>
       val text = CText.findFirstMatchIn(c).map(_.group(1).trim).getOrElse("")
       if (text.isEmpty) None
@@ -166,16 +234,16 @@ object PageParser {
     }
     parsedComments.foreach(pc => add("comment", pc.content, null))
 
-    val author = firstMatch(html, AuthorSel(grammar))
-    val dateStr = firstMatch(html, DateSel(grammar))
+    val author = meta.value(found, 1)
+    val dateStr = meta.value(found, 2)
     val outlinks = Outlink.findAllMatchIn(html).map(_.group(1)).toVector
 
     Some(ParseOut(
       title = title,
       author = author,
       createdAt = parseDate(dateStr),
-      viewCount = extractCount(firstMatch(html, ViewSel(grammar))),
-      likeCount = extractCount(firstMatch(html, LikeSel(grammar))),
+      viewCount = extractCount(meta.value(found, 3)),
+      likeCount = extractCount(meta.value(found, 4)),
       spans = spans.result(),
       outlinks = outlinks,
       comments = parsedComments))

@@ -266,7 +266,8 @@ final class Crawler(
     // spilled columnar to disk (the snapshot write follows anyway and heap
     // eviction would trigger a full re-fetch); in bench mode (no
     // persistence) it stays memory-first.
-    val outcome = fetchParse(round, frontier).persist(
+    val outcome = fetchParse(round, frontier,
+      retainContent = config.persistRounds).persist(
       if (config.persistRounds) org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val results = outcome.flatMap(o => Option(o._1))
@@ -294,9 +295,10 @@ final class Crawler(
     // on canon and MATERIALIZED now — both the anti-join and the round
     // bank read it, and it must not lazily re-run the sequencer lineage
     // after seqCache is dropped)
+    // (materialization happens via the bank count below — the bank build
+    // scans roundSeen, caching it as a side effect; no separate barrier)
     val roundSeen = frontier.select($"canonUrl".as("canon")).toDF()
       .repartition(seenP, $"canon").persist()
-    timed(s"r$round seen-materialize") { roundSeen.count() }
     seenParts :+= roundSeen
 
     // bloom bank fold: build this round's bank from the cached roundSeen,
@@ -371,12 +373,23 @@ final class Crawler(
     * for the round's checkpoint — exactly-once state via the atomic
     * manifest commit.
     */
-  def fetchParse(round: Int, frontier: Dataset[FrontierEntry])
-      : Dataset[(FetchParseRow, HostState)] = {
-    // 4 partitions per core: a single wave (p == cores) lets the slowest
-    // partition set the stage's wall time; smaller partitions amortize
-    // (host,lane) imbalance across waves
-    val p = math.max(4 * spark.sparkContext.defaultParallelism, config.seenPartitions)
+  /** retainContent=false (bench mode, persistRounds off): pages are still
+    * fetched and fully parsed — the politeness state machine, status
+    * accounting and outlink expansion are identical — but the parsed
+    * spans/comments/title are not RETAINED in the row, because nothing
+    * downstream reads them when no snapshot is committed. Retaining them
+    * only inflates the round cache by the corpus size (≈10 GB at 3M
+    * 16 KB pages), a memory-bandwidth cost that is pure overhead in a
+    * fetch+dedup throughput measurement.
+    */
+  def fetchParse(round: Int, frontier: Dataset[FrontierEntry],
+      retainContent: Boolean = true): Dataset[(FetchParseRow, HostState)] = {
+    // 16 partitions per core: a single wave (p == cores) lets the slowest
+    // partition set the stage's wall time; many small partitions amortize
+    // (host,lane) cost imbalance across waves (hosts differ in page weight,
+    // not just URL count). The per-host tail itself is bounded by
+    // saltFactor (a hot host's biggest lane is 1/salt of it).
+    val p = math.max(16 * spark.sparkContext.defaultParallelism, config.seenPartitions)
     val salt = config.saltFactor
     val saltCol =
       if (salt <= 1) lit(0)
@@ -401,6 +414,7 @@ final class Crawler(
       .as[FrontierWithState]
 
     val rb = robotsB; val cb = cfgB; val f = fetcher; val r = round
+    val retain = retainContent
     parted.mapPartitions { it =>
       val cfg = cb.value
       val robots = rb.value
@@ -421,11 +435,16 @@ final class Crawler(
         val row = if (status == "fetched") {
           PageParser.parse(html, e.canonUrl) match {
             case Some(parsed) =>
-              FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "fetched",
-                attempts, parsed.title, parsed.author,
-                parsed.createdAt.map(java.sql.Timestamp.valueOf).orNull,
-                parsed.viewCount, parsed.likeCount, parsed.spans, parsed.outlinks,
-                parsed.comments, pid)
+              if (retain)
+                FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "fetched",
+                  attempts, parsed.title, parsed.author,
+                  parsed.createdAt.map(java.sql.Timestamp.valueOf).orNull,
+                  parsed.viewCount, parsed.likeCount, parsed.spans, parsed.outlinks,
+                  parsed.comments, pid)
+              else // bench mode: parse happened, content not retained
+                FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "fetched",
+                  attempts, "", "", null, parsed.viewCount, parsed.likeCount,
+                  Seq.empty, parsed.outlinks, Seq.empty, pid)
             case None =>
               FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "parse_failed",
                 attempts, "", "", null, 0, 0, Seq.empty, Seq.empty, Seq.empty, pid)
