@@ -93,6 +93,13 @@ object SparkEntry {
       val o = rt(s, d, "orders")
       val n = o.count()
       val k = math.max(1L, n / 10L)
+      // limit() takes an Int and TakeOrderedAndProject materializes k rows
+      // on the driver — fine for contract-scale deciles, meaningless at
+      // 10^10 rows (k.toInt would overflow and no driver holds 10^9 rows).
+      // At that scale the decile is a filter against an approxQuantile
+      // threshold instead; fail loudly rather than silently truncate.
+      require(k <= Int.MaxValue,
+        s"decile k=$k exceeds Int range — use approxQuantile threshold + filter at this scale")
       o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(k.toInt)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
@@ -252,8 +259,14 @@ object SparkEntry {
     "q30_simhash_pairs" -> ((s, d) => {
       // portable md5-based signatures + maxHamming=3, which the 4-block
       // pigeonhole blocking covers with FULL recall — the DuckDB oracle is
-      // the brute-force all-pairs ground truth over the same signatures
-      graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 3)
+      // the brute-force all-pairs ground truth over the same signatures.
+      // maxBucket uncapped to match the capless oracle exactly (the engine
+      // default keeps the 10k degenerate-block guard, like q29's maxDf);
+      // the engine default also uses the ~3× cheaper single-pass FNV
+      // signatures — the portable md5 construction exists for this contract
+      graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 3,
+        bits = 60, maxBucket = Int.MaxValue,
+        signatures = graft.ops.Dedup.simhashPortableSigs(_))
         .orderBy(col("a"), col("b"))
     }),
     "q36_minhash_lsh_pairs" -> ((s, d) => { // rows-only (banding layout)

@@ -15,11 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete-before-write: a failed query must leave NO stale parquet from
+      // a previous run in outDir (it would mask the failure as a pass)
+      rmTree(java.nio.file.Paths.get(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmTree(java.nio.file.Paths.get(s"$outDir/$name")) // no partial output either
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -5,6 +5,7 @@ import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
@@ -12,16 +13,16 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   * scale-out realization of the reference's in-memory `seen` dict,
   * /root/reference/crawler/utils/url_deduplicator.py:53-62).
   *
-  * The seen set is hash-partitioned by canonical-URL FNV-64 into `p`
+  * The seen set is hash-partitioned by canonical-URL FNV-64 into `width`
   * independent bloom filters so each filter stays small enough for the
-  * target FPP at 10^10 keys (e.g. p = 4096 × ~2.4M keys/filter at 1% FPP
-  * ≈ 2.9 MB/filter).
+  * target FPP at 10^10 keys (e.g. width = 4096 × ~2.4M keys/filter at 1%
+  * FPP ≈ 2.9 MB/filter).
   *
   * DISTRIBUTED LAYOUT (round-2 redesign; round 1 collected the bank to the
   * driver and broadcast it whole — O(bank) on the driver and O(bank ×
   * executors) on the network, both scale-killers at the 10^10-key target):
   * the bank lives as an `RDD[(pid, filterBytes)]` under a
-  * `HashPartitioner(p)`, so pid i's blob sits in partition i and NEVER
+  * `HashPartitioner(width)`, so pid i's blob sits in partition i and NEVER
   * moves:
   *   - probe: candidates are keyed by pid and `partitionBy`-shuffled to the
   *     bank's partitioner, then `zipPartitions` probes each candidate
@@ -30,8 +31,15 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   *   - merge: per-round banks share the partitioner, so OR-ing blobs is a
   *     `zipPartitions` too — zero shuffle, O(bank) CPU spread across the
   *     cluster;
-  *   - persistence: one parquet table of (pid, filter) rows per round —
-  *     written/read with ordinary distributed I/O, nothing driver-resident.
+  *   - persistence: one parquet table of (pid, filter, width) rows per
+  *     round — written/read with ordinary distributed I/O, nothing
+  *     driver-resident. The width column makes the saved bank
+  *     SELF-DESCRIBING: a resume under a different `seenPartitions` config
+  *     keeps probing at the width the filters were BUILT with (pid =
+  *     hash(url) mod built-width). Re-partitioning bloom filters is
+  *     impossible, and probing saved filters at a different modulus would
+  *     turn bloom "false" — which the dedup tier treats as authoritative
+  *     definitely-new — into silent re-crawls.
   *
   * CORRECTNESS: the bloom is a PRE-FILTER ONLY. `mightContain = false` is
   * authoritative (definitely new); `true` candidates are confirmed against
@@ -41,10 +49,20 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   */
 object DistBloomBank {
 
-  /** (pid, serialized filter); always partitioned by HashPartitioner(p)
-    * with pid i in partition i (Int hashCode is identity).
+  /** A bank: its build width plus (pid, serialized filter) rows, always
+    * partitioned by HashPartitioner(width) with pid i in partition i (Int
+    * hashCode is identity). All probes derive pid from `width`, never from
+    * the current session config.
     */
-  type Bank = RDD[(Int, Array[Byte])]
+  final case class Bank(width: Int, rdd: RDD[(Int, Array[Byte])]) {
+    /** MEMORY_AND_DISK: an evicted MEMORY_ONLY bank partition would
+      * recompute through every prior round's merge lineage (or, post
+      * rebuild, one seen-chain scan) — blobs are small, disk is cheap.
+      */
+    def persist(): Bank = { rdd.persist(StorageLevel.MEMORY_AND_DISK); this }
+    def unpersist(): Bank = { rdd.unpersist(); this }
+    def count(): Long = rdd.count()
+  }
 
   private def ser(f: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream(); f.writeTo(bos); bos.toByteArray
@@ -60,7 +78,7 @@ object DistBloomBank {
   def buildRound(df: DataFrame, canonCol: String, partitions: Int,
       expectedPerPartition: Long, fpp: Double): Bank = {
     val p = partitions; val exp = expectedPerPartition; val f = fpp
-    df.select(canonCol).rdd
+    Bank(p, df.select(canonCol).rdd
       .map(r => (UrlCanon.partition(r.getString(0), p), r.getString(0)))
       .partitionBy(new HashPartitioner(p))
       .mapPartitions({ it =>
@@ -71,12 +89,14 @@ object DistBloomBank {
           it.foreach { case (k, u) => pid = k; bf.putString(u) }
           Iterator((pid, ser(bf)))
         }
-      }, preservesPartitioning = true)
+      }, preservesPartitioning = true))
   }
 
   /** OR-merge two co-partitioned banks — narrow (no shuffle). */
-  def merge(a: Bank, b: Bank): Bank =
-    a.zipPartitions(b, preservesPartitioning = true) { (ia, ib) =>
+  def merge(a: Bank, b: Bank): Bank = {
+    require(a.width == b.width,
+      s"bank width mismatch: ${a.width} vs ${b.width} — banks are not mergeable across widths")
+    Bank(a.width, a.rdd.zipPartitions(b.rdd, preservesPartitioning = true) { (ia, ib) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[Int, BloomFilter]
       (ia ++ ib).foreach { case (pid, bytes) =>
         m.get(pid) match {
@@ -85,22 +105,23 @@ object DistBloomBank {
         }
       }
       m.iterator.map { case (pid, bf) => (pid, ser(bf)) }
-    }
+    })
+  }
 
   /** Adds boolean column `flag` = bank.mightContain(canon). Only the
-    * candidate rows shuffle (to the bank's partitioner); each task probes
-    * its partition's blob in place.
+    * candidate rows shuffle (to the bank's partitioner — pid computed at
+    * the BANK's width, regardless of session config); each task probes its
+    * partition's blob in place.
     */
-  def probe(cands: DataFrame, canonCol: String, bank: Bank,
-      partitions: Int, flag: String): DataFrame = {
+  def probe(cands: DataFrame, canonCol: String, bank: Bank, flag: String): DataFrame = {
     val spark = cands.sparkSession
     val schema = cands.schema
     val idx = schema.fieldIndex(canonCol)
-    val p = partitions
+    val p = bank.width
     val keyed = cands.rdd
       .map(r => (UrlCanon.partition(r.getString(idx), p), r))
       .partitionBy(new HashPartitioner(p))
-    val probed = keyed.zipPartitions(bank, preservesPartitioning = false) { (cit, bit) =>
+    val probed = keyed.zipPartitions(bank.rdd, preservesPartitioning = false) { (cit, bit) =>
       val filters = bit.map(kv => deser(kv._2)).toArray
       cit.map { case (_, r) =>
         val maybe = filters.nonEmpty &&
@@ -114,25 +135,39 @@ object DistBloomBank {
 
   private val saveSchema = StructType(Seq(
     StructField("pid", IntegerType, nullable = false),
-    StructField("filter", BinaryType, nullable = false)))
+    StructField("filter", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false)))
 
-  /** Persist as a parquet table of (pid, filter) — distributed write. */
+  /** Persist as a parquet table of (pid, filter, width) — distributed
+    * write; `width` makes the table self-describing for load().
+    */
   def save(spark: SparkSession, bank: Bank, path: String): Unit =
-    spark.createDataFrame(bank.map { case (pid, b) => Row(pid, b) }, saveSchema)
+    spark.createDataFrame(bank.rdd.map { case (pid, b) => Row(pid, b, bank.width) }, saveSchema)
       .write.mode("overwrite").parquet(path)
 
-  def load(spark: SparkSession, path: String, partitions: Int): Option[Bank] = {
+  /** Load a saved bank at ITS OWN recorded width (never the current
+    * config's: filters cannot be re-hashed, and probing them at a different
+    * modulus silently re-crawls seen URLs). A resume that changed
+    * `seenPartitions` simply keeps the old bank width until the bank is
+    * next rebuilt from the seen chain.
+    */
+  def load(spark: SparkSession, path: String): Option[Bank] = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return None
-    Some(spark.read.parquet(path).rdd
+    val df = spark.read.parquet(path)
+    val widths = df.select("width").distinct().collect().map(_.getInt(0))
+    if (widths.isEmpty) return None // empty bank: nothing was ever inserted
+    require(widths.length == 1, s"corrupt bank at $path: mixed widths ${widths.mkString(",")}")
+    val w = widths(0)
+    Some(Bank(w, df.select("pid", "filter").rdd
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
-      .partitionBy(new HashPartitioner(partitions)))
+      .partitionBy(new HashPartitioner(w))))
   }
 
   /** Driver-side view for tests/diagnostics ONLY (collects the bank). */
-  def toLocal(bank: Bank, partitions: Int): BloomBank = {
-    val filters = new Array[BloomFilter](partitions)
-    bank.collect().foreach { case (pid, b) => filters(pid) = deser(b) }
-    new BloomBank(partitions, filters)
+  def toLocal(bank: Bank): BloomBank = {
+    val filters = new Array[BloomFilter](bank.width)
+    bank.rdd.collect().foreach { case (pid, b) => filters(pid) = deser(b) }
+    new BloomBank(bank.width, filters)
   }
 }
 

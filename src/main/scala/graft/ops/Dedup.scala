@@ -189,6 +189,15 @@ object Dedup {
     if (text == null) 0L else simhash(text.split(" ").toSeq))
   def simhashCol(text: Column): Column = simhashU(text)
 
+  /** Engine-default signatures: the single-pass FNV UDF above — one scan,
+    * no shuffle beyond the blocking stage, ~3× cheaper than the portable
+    * md5 construction (which pays md5 + base-conversion per token plus 60
+    * parallel sum-aggregates per doc). Use `simhashPortableSigs` only when
+    * an external engine must recompute the signatures bit-for-bit.
+    */
+  def simhashFnvSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashCol(col("text")).as("sig"))
+
   /** Engine-portable SimHash signatures: token hash = first 15 hex chars of
     * md5 (60 bits, reproducible in any engine with md5 + base conversion —
     * DuckDB: ('0x'||substring(md5(t),1,15))::BIGINT), per-bit majority vote
@@ -221,9 +230,9 @@ object Dedup {
     * quadratic — buckets above the cap are dropped from candidate
     * generation (recall guard rails, like maxDf for shingles).
     */
-  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60,
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
       maxBucket: Int = 10000,
-      signatures: DataFrame => DataFrame = simhashPortableSigs(_)): DataFrame = {
+      signatures: DataFrame => DataFrame = simhashFnvSigs(_)): DataFrame = {
     val nBlocks = maxHamming + 1
     require(nBlocks <= bits, s"maxHamming $maxHamming needs $nBlocks blocks > $bits bits")
     val width = bits / nBlocks // first (nBlocks-1) blocks `width` bits, last takes the rest
@@ -231,8 +240,9 @@ object Dedup {
     val blocks = (0 until nBlocks).map { q =>
       val lo = q * width
       val w = if (q == nBlocks - 1) bits - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1 // 1L<<64 wraps to 1 in JVM shift semantics
       struct(lit(q).as("q"),
-        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << w) - 1)).as("key"))
+        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask)).as("key"))
     }
     // same exchange-sharing + anti-coalesce repartition as lshCandidatePairs
     val p = docs.sparkSession.sessionState.conf.numShufflePartitions

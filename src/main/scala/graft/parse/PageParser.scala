@@ -131,12 +131,20 @@ object PageParser {
     }
     private val pattern = java.util.regex.Pattern.compile(flat.mkString("|"))
 
-    /** found(i) = first occurrence of slot i's capture, or null. */
+    /** found(i) = first occurrence of slot i's capture, or null.
+      * The scan resumes ONE CHAR past each match START (not at the match
+      * end), so a slot whose only occurrence begins inside another slot's
+      * matched span is still seen — semantics identical to running each
+      * ladder's firstMatch independently, even for overlapping/nested
+      * markup. Cost: each restart re-examines the matched span once; slot
+      * count (≤ a dozen) bounds the number of restarts.
+      */
     def scan(html: String): Array[String] = {
       val found = new Array[String](flat.length)
       var remaining = flat.length
       val m = pattern.matcher(html)
-      while (remaining > 0 && m.find()) {
+      var from = 0
+      while (remaining > 0 && from < html.length && m.find(from)) {
         var g = 0
         while (g < flat.length) {
           if (found(g) == null && m.group(g + 1) != null) {
@@ -144,6 +152,7 @@ object PageParser {
           }
           g += 1
         }
+        from = m.start() + 1
       }
       found
     }

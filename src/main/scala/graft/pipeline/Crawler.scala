@@ -172,8 +172,10 @@ final class Crawler(
       val last = resumeFrom - 1
       seenParts = store.read(spark, "seen").map(df =>
         df.select($"canonUrl".as("canon")).repartition(seenP, $"canon").persist()).toVector
-      bankAcc = DistBloomBank.load(spark, store.bloomPath(last), config.seenPartitions)
-        .map(_.persist())
+      // the saved bank is self-describing: it loads at the width it was
+      // BUILT with (a changed seenPartitions config is adopted only at the
+      // next seen-chain collapse, when the bank is rebuilt from scratch)
+      bankAcc = DistBloomBank.load(spark, store.bloomPath(last)).map(_.persist())
       val st = spark.read.parquet(store.tablePath("host_state", last)).persist()
       lastStateCount = st.count()
       stateAcc = Some(st)
@@ -322,13 +324,22 @@ final class Crawler(
         seqStart + frontierCount, frontierCount)
 
     // bound the seen chain: collapse into one partitioned cache every
-    // `collapseEvery` rounds (plan depth + per-round join fan-in stay O(1))
+    // `collapseEvery` rounds (plan depth + per-round join fan-in stay O(1)).
+    // The bloom bank is REBUILT from the collapsed chain on the same cycle:
+    // the per-round OR-merge chain otherwise accumulates O(rounds) zip
+    // lineage (a lost blob would recompute through every prior round), and
+    // the rebuild is also where a config width change takes effect.
     if (seenParts.size > collapseEvery) {
       val collapsed = seenParts.reduce(_.unionByName(_))
         .repartition(seenP, $"canon").persist()
       timed(s"r$round seen-collapse") { collapsed.count() }
       seenParts.foreach(_.unpersist())
       seenParts = Vector(collapsed)
+      val rebuilt = DistBloomBank.buildRound(collapsed, "canon",
+        config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp).persist()
+      timed(s"r$round bank-rebuild") { rebuilt.count() }
+      bankAcc.foreach(_.unpersist())
+      bankAcc = Some(rebuilt)
     }
 
     val materializedNext = next.persist()
@@ -356,13 +367,17 @@ final class Crawler(
   private def antiJoinSeen(round: Int, cands: DataFrame): DataFrame = {
     (bankAcc, seenParts) match {
       case (Some(bank), parts) if parts.nonEmpty =>
-        val flagged = DistBloomBank.probe(cands, "canon", bank,
-          config.seenPartitions, "maybe_seen")
+        val flagged = DistBloomBank.probe(cands, "canon", bank, "maybe_seen")
         val definitelyNew = flagged.filter(!$"maybe_seen")
         val confirmed = parts.foldLeft(flagged.filter($"maybe_seen")) {
           (df, seen) => df.join(seen, Seq("canon"), "left_anti")
         }
         definitelyNew.unionByName(confirmed).drop("maybe_seen")
+      case (None, parts) if parts.nonEmpty =>
+        // defensive: history without a bank (e.g. an empty saved bank) —
+        // fall back to exact anti-joins only; correctness never depends on
+        // the bloom tier existing, only on it never lying "false"
+        parts.foldLeft(cands) { (df, seen) => df.join(seen, Seq("canon"), "left_anti") }
       case _ => cands // first round of a fresh run
     }
   }

@@ -118,9 +118,25 @@ class CrawlParitySpec extends SparkSpec {
   test("bloom bank: no false negatives; pre-filter admits all seen urls") {
     val store = new graft.snapshot.SnapshotStore(storeRoot)
     val bank = graft.frontier.DistBloomBank
-      .load(spark, store.bloomPath(1), config.seenPartitions).get
-    val local = graft.frontier.DistBloomBank.toLocal(bank, config.seenPartitions)
+      .load(spark, store.bloomPath(1)).get
+    assert(bank.width == config.seenPartitions) // saved banks are self-describing
+    val local = graft.frontier.DistBloomBank.toLocal(bank)
     oracle.seen.foreach { u => assert(local.mightContain(u), s"bloom false negative: $u") }
+  }
+
+  test("saved bank is self-describing: load keeps BUILT width under a changed config") {
+    import spark.implicits._
+    val urls = (0 until 500).map(i => s"https://w.example.org/post/$i")
+    val df = urls.toDF("canon")
+    val built = graft.frontier.DistBloomBank.buildRound(df, "canon", 8, 10000L, 0.01)
+    val path = tempDir("graft-bankwidth") + "/bank"
+    graft.frontier.DistBloomBank.save(spark, built, path)
+    // a resume whose config now says seenPartitions=32 must still probe at 8
+    val loaded = graft.frontier.DistBloomBank.load(spark, path).get
+    assert(loaded.width == 8)
+    val probed = graft.frontier.DistBloomBank.probe(df, "canon", loaded, "maybe")
+    assert(probed.filter(!col("maybe")).count() == 0L,
+      "bloom false negative after width-preserving load")
   }
 
   test("bulk load tags rows with their source file (S6, app.py:32-55)") {
