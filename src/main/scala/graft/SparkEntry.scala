@@ -337,14 +337,19 @@ object SparkEntry {
       graft.ops.Similarity.bruteForceTopK(rt(s, d, "embeddings"), q, 10)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     }),
-    "q33_lsh_topk" -> ((s, d) => { // rows-only
+    "q33_lsh_topk" -> ((s, d) => {
+      // index-backed probe: the embeddings table stored partitionBy(bucket),
+      // so the probe reads ONLY the ~9 probed buckets' files (partition
+      // pruning — asserted in PlanSpec); built once per JVM per sf dir
       val dim = 64
       val q = (0 until dim).map(i => math.sin(i + 1.0))
-      graft.ops.Similarity.lshTopK(rt(s, d, "embeddings"), q, 10, dim)
-        .select(col("vec_id"), col("cosine"), col("bucket"))
+      graft.ops.Similarity.indexTopK(s, annIndex(s, d, dim), q, 10, dim)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("bucket").cast("int").as("bucket"))
     }),
-    "q34_bucketed_neighbors" -> ((s, d) => { // rows-only
+    "q34_bucketed_neighbors" -> ((s, d) => {
       graft.ops.Similarity.bucketedNeighbors(rt(s, d, "embeddings"), dim = 64, k = 3)
+        .orderBy(col("a"), col("cosine").desc, col("b"))
     }),
 
     // ---- crawl engine + multimodal plumbing (rows-only; full parity in
@@ -388,21 +393,48 @@ object SparkEntry {
       }.distinct
       val docs = s.createDataset(docRows.toSeq).toDF("doc_id", "spans")
       val media = graft.ops.Multimodal.mediaTable(s, docs)
-      // the driver's rows-only hasher sorts column values with pandas, which
-      // can't order array cells — serialize the feature vector to a scalar
+      // the feature vector is serialized to a scalar (array cells can't be
+      // hashed/ordered by the driver): milli-scaled ints, exactly
+      // reproducible driver-side for the VALUES oracle (the stub features
+      // are integer/1000 floats, so *1000 + round is lossless)
       graft.ops.Multimodal.extractFeatures(s, media, partitions = 8)
         .toDF()
-        .withColumn("feature_csv",
-          concat_ws(",", transform(col("feature"), v => format_number(v, 3))))
+        .withColumn("feature_milli",
+          concat_ws(",", transform(col("feature"),
+            v => round(v.cast("double") * 1000).cast("int").cast("string"))))
         .drop("feature")
         .orderBy(col("media_id"), col("doc_id"))
     }),
+    "q41_simhash_engine_pairs" -> ((s, d) => {
+      // the ENGINE-default simhash path (single-pass FNV signatures over 64
+      // bits, 10k block guard — what a pipeline actually runs); the oracle
+      // recomputes the signatures driver-side into VALUES and mirrors the
+      // pigeonhole blocking + guard in SQL (q36 pattern)
+      graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
   )
+
+  /** Once-per-JVM ANN index build (deterministic content — rebuild in a
+    * fresh tmp dir is idempotent). Keyed by sf dir.
+    */
+  private val annIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def annIndex(s: SparkSession, d: String, dim: Int): String =
+    annIndexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ann-index").toString + "/emb"
+      graft.ops.Similarity.writeIndex(rt(s, d, "embeddings"), path, dim)
+      path
+    })
 
   /** DuckDB-runnable oracle SQL — identical column names + deterministic
     * ORDER BY. Keys absent here get the driver's rows-only check.
+    * Static SQL plus the VALUES-style generated oracles (q28/q33/q34/q38/
+    * q41), whose JVM-bound columns are recomputed driver-side from the same
+    * pure functions — DuckDB then verifies the DISTRIBUTED application.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = staticOracleSql ++ generatedOracles
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
@@ -690,13 +722,165 @@ object SparkEntry {
 
   /** The q37 span corpus as a SQL VALUES list (pure Scala, no Spark). */
   private lazy val q37Values: String = {
-    def lit(s: String): String =
-      if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
     graft.fixtures.Fixtures.seeds(120).flatMap { sr =>
       val canon = graft.core.UrlCanon.canonicalize(sr.url)
       graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
         .toSeq.flatMap(_.spans.map(sp =>
-          s"(${lit(canon)}, ${lit(sp.kind)}, ${lit(sp.text)}, ${lit(sp.media_ref)}, ${sp.offset})"))
+          s"(${sqlLit(canon)}, ${sqlLit(sp.kind)}, ${sqlLit(sp.text)}, ${sqlLit(sp.media_ref)}, ${sp.offset})"))
     }.mkString(", ")
+  }
+
+  // ---- generated VALUES oracles --------------------------------------------
+
+  /** Set by Verify before dumping oracleSql: the sf dir whose parquet
+    * tables the VALUES generators read (the SAME tables DuckDB queries).
+    */
+  @volatile var oracleDataDir: String = "/root/testdata/sf0.01"
+
+  private def sqlLit(s: String): String =
+    if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
+
+  private def readDocsForOracle(): Seq[(Long, String)] =
+    SparkSession.active.read.parquet(s"$oracleDataDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def readEmbeddingsForOracle(): Seq[(Long, Seq[Float])] =
+    SparkSession.active.read.parquet(s"$oracleDataDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+  /** (vec_id, sign bucket) under the q33/q34 seeded planes. */
+  private def vecBucketValues(dim: Int): String = {
+    val ps = graft.ops.Similarity.planes(dim, 8, 42L)
+    readEmbeddingsForOracle().map { case (id, v) =>
+      var bucket = 0
+      ps.zipWithIndex.foreach { case (plane, p) =>
+        var dot = 0.0; var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot > 0) bucket |= (1 << p)
+      }
+      s"($id, $bucket)"
+    }.mkString(", ")
+  }
+
+  private val queryVecSql: String = {
+    val dim = 64
+    (0 until dim).map(i => f"${math.sin(i + 1.0)}%.17g").mkString("[", ", ", "]")
+  }
+
+  /** Each entry individually guarded: a generation failure (e.g. missing
+    * parquet when oracleSql is inspected outside Verify) degrades that
+    * query to the driver's rows-only check instead of failing the dump.
+    */
+  private def generatedOracles: Map[String, String] = {
+    def entry(name: String)(body: => String): Seq[(String, String)] =
+      try Seq(name -> body)
+      catch { case e: Throwable =>
+        System.err.println(s"[oracle-gen] $name skipped: ${e.getMessage}"); Seq.empty }
+
+    val q28 = entry("q28_text_profile") {
+      val rows = readDocsForOracle().map { case (id, text) =>
+        s"($id, ${graft.ops.TextOps.bpeCount(text)}, ${sqlLit(graft.ops.TextOps.langIdScala(text))}, " +
+          s"CAST(${graft.ops.TextOps.rollingHash(text)} AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH jvm(doc_id, bpe_tokens, lang_id, rolling_hash) AS (VALUES $rows),
+          base AS (SELECT doc_id, text,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE (length(text) - length(replace(text, ' ', ''))) + 1 END AS nt
+                   FROM documents)
+          SELECT b.doc_id, b.nt AS n_tokens, CAST(j.bpe_tokens AS INT) AS bpe_tokens,
+                 round(least(least(length(b.text) / 200.0, 1.0) * 0.6 +
+                   (CASE WHEN b.nt > 0 AND
+                         (length(b.text) - (b.nt - 1)) * 1.0 / b.nt BETWEEN 2.0 AND 12.0
+                    THEN 1.0 ELSE 0.5 END) * 0.4, 1.0), 6) AS quality,
+                 j.lang_id,
+                 md5(lower(regexp_replace(b.text, '\\s+', ' ', 'g'))) AS fingerprint,
+                 CAST(j.rolling_hash AS BIGINT) AS rolling_hash
+          FROM base b JOIN jvm j ON b.doc_id = j.doc_id
+          ORDER BY b.doc_id"""
+    }
+
+    val q33 = entry("q33_lsh_topk") {
+      val dim = 64
+      val probe = graft.ops.Similarity
+        .probeBuckets((0 until dim).map(i => math.sin(i + 1.0)), dim)
+        .mkString(", ")
+      s"""WITH v(vec_id, bucket) AS (VALUES ${vecBucketValues(dim)}),
+          c AS (SELECT e.vec_id, v.bucket,
+                  list_cosine_similarity(
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)), $queryVecSql) AS cos
+                FROM embeddings e JOIN v ON e.vec_id = v.vec_id
+                WHERE v.bucket IN ($probe))
+          SELECT vec_id, round(cos, 6) AS cosine, CAST(bucket AS INT) AS bucket
+          FROM c ORDER BY cos DESC, vec_id LIMIT 10"""
+    }
+
+    val q34 = entry("q34_bucketed_neighbors") {
+      val dim = 64
+      s"""WITH v(vec_id, bucket) AS (VALUES ${vecBucketValues(dim)}),
+          small AS (SELECT bucket FROM v GROUP BY bucket HAVING count(*) <= 10000),
+          g AS (SELECT e.vec_id, v.bucket,
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ve
+                FROM embeddings e JOIN v ON e.vec_id = v.vec_id
+                            JOIN small ON v.bucket = small.bucket),
+          pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                      round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine
+                    FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          ranked AS (SELECT a, b, cosine,
+                       row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rn
+                     FROM pairs)
+          SELECT a, b, cosine FROM ranked WHERE rn <= 3
+          ORDER BY a, cosine DESC, b"""
+    }
+
+    val q38 = entry("q38_media_features") {
+      val rows = graft.fixtures.Fixtures.seeds(120).flatMap { sr =>
+        val canon = graft.core.UrlCanon.canonicalize(sr.url)
+        graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
+          .map(p => (canon, p.spans))
+      }.distinct.flatMap { case (canon, spans) =>
+        spans.filter(_.kind == "media").map { sp =>
+          val f = graft.ops.Multimodal.decodeStub(
+            graft.ops.MediaAsset(sp.media_ref, canon,
+              graft.ops.Multimodal.kindOf(sp.media_ref), Array.emptyByteArray))
+          val milli = f.feature.map(v => Math.round(v.toDouble * 1000).toInt).mkString(",")
+          s"(${sqlLit(f.media_id)}, ${sqlLit(f.doc_id)}, ${sqlLit(f.kind)}, " +
+            s"${f.width}, ${f.height}, ${sqlLit(f.format)}, ${f.n_frames}, ${sqlLit(milli)})"
+        }
+      }.mkString(", ")
+      s"""SELECT media_id, doc_id, kind, CAST(width AS INT) AS width,
+                 CAST(height AS INT) AS height, format,
+                 CAST(n_frames AS INT) AS n_frames, feature_milli
+          FROM (VALUES $rows)
+            t(media_id, doc_id, kind, width, height, format, n_frames, feature_milli)
+          ORDER BY media_id, doc_id"""
+    }
+
+    val q41 = entry("q41_simhash_engine_pairs") {
+      val rows = readDocsForOracle().map { case (id, text) =>
+        val sig = if (text == null) 0L
+          else graft.ops.Dedup.simhash(text.split(" ").toSeq)
+        s"($id, CAST($sig AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH sigs(doc_id, sig) AS (VALUES $rows),
+          keyed AS (
+            SELECT doc_id, 0 AS q, (sig >> 0)  & 65535 AS key FROM sigs UNION ALL
+            SELECT doc_id, 1 AS q, (sig >> 16) & 65535 AS key FROM sigs UNION ALL
+            SELECT doc_id, 2 AS q, (sig >> 32) & 65535 AS key FROM sigs UNION ALL
+            SELECT doc_id, 3 AS q, (sig >> 48) & 65535 AS key FROM sigs),
+          small AS (SELECT q, key FROM keyed GROUP BY q, key HAVING count(*) <= 10000),
+          guarded AS (SELECT k.* FROM keyed k JOIN small USING (q, key)),
+          cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                   FROM guarded a JOIN guarded b
+                     ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT c.a, c.b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+          FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
+          WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+          ORDER BY a, b"""
+    }
+
+    (q28 ++ q33 ++ q34 ++ q38 ++ q41).toMap
   }
 }

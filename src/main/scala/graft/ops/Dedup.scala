@@ -265,10 +265,13 @@ object Dedup {
 
   /** Cosine similarity of two float-array columns as a pure Catalyst
     * expression: zip_with product + aggregate sum (no UDF in the hot path).
+    * Accumulates in DOUBLE (float products would drift ~1e-7 — enough to
+    * flip 6-decimal roundings against any double-precision reference).
     */
   def cosineCol(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 

@@ -68,21 +68,59 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed approximate top-k: probe the query's bucket and all
-    * Hamming-1 neighbor buckets, brute-force within.
+  /** The probe set for a query vector: its sign bucket plus all Hamming-1
+    * neighbor buckets (pure driver-side arithmetic — shared by the ad-hoc
+    * and index-backed probes, and by oracle generation).
     */
-  def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
-      dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+  def probeBuckets(query: Seq[Double], dim: Int, nPlanes: Int = 8,
+      seed: Long = 42L): Seq[Int] = {
     val ps = planes(dim, nPlanes, seed)
     var qBucket = 0
     ps.zipWithIndex.foreach { case (plane, p) =>
       val dot = plane.zip(query).map { case (a, b) => a * b }.sum
       if (dot > 0) qBucket |= (1 << p)
     }
-    val probe = qBucket +: (0 until nPlanes).map(p => qBucket ^ (1 << p))
+    qBucket +: (0 until nPlanes).map(p => qBucket ^ (1 << p))
+  }
+
+  /** Ad-hoc LSH top-k over an in-memory DataFrame: probe the query's bucket
+    * and all Hamming-1 neighbors, brute-force within. NOTE: without a
+    * stored index this still SCANS every row to evaluate the bucket UDF —
+    * it bounds the cosine work, not the I/O. At 10^10 vectors use
+    * `writeIndex` + `indexTopK`, which prunes unprobed buckets at the
+    * source via partition pruning.
+    */
+  def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+      dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val probe = probeBuckets(query, dim, nPlanes, seed)
     val bucketed = embeddings.withColumn("bucket",
       signBucketCol(col("embedding"), dim, nPlanes, seed))
     bruteForceTopK(bucketed.filter(col("bucket").isin(probe: _*)), query, k)
+  }
+
+  /** Materialize the ANN index: the embeddings table laid out
+    * `partitionBy("bucket")`, so a probe reads ONLY the probed buckets'
+    * files (PartitionFilters at the scan — the 10^10-vector path; the scan
+    * cost is |probed buckets|, not |table|). The planes are seed-derived,
+    * so the index needs no stored model — any session can re-derive the
+    * query bucket.
+    */
+  def writeIndex(embeddings: DataFrame, path: String, dim: Int,
+      nPlanes: Int = 8, seed: Long = 42L): Unit =
+    embeddings
+      .withColumn("bucket", signBucketCol(col("embedding"), dim, nPlanes, seed))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Index-backed approximate top-k: partition-pruned read of the probe
+    * buckets, brute-force cosine within them.
+    */
+  def indexTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      query: Seq[Double], k: Int, dim: Int, nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val probe = probeBuckets(query, dim, nPlanes, seed)
+    val pruned = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probe: _*)) // partition filter, not a row filter
+    bruteForceTopK(pruned, query, k)
   }
 
   /** All-pairs top neighbors per vector within LSH buckets (batch ANN):
@@ -102,8 +140,12 @@ object Similarity {
     val guarded = bucketed.join(small, Seq("bucket"))
     val a = guarded.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
     val b = guarded.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    // rank on the 6-decimal-ROUNDED cosine (ties broken by b): raw doubles
+    // rank identically in any engine only down to ulp noise — rounding
+    // first makes the top-k reproducible across engines (oracle-checkable)
+    // at no semantic cost
     val pairs = a.join(b, Seq("bucket")).filter(col("a") =!= col("b"))
-      .withColumn("cosine", Dedup.cosineCol(col("va"), col("vb")))
+      .withColumn("cosine", round(Dedup.cosineCol(col("va"), col("vb")), 6))
     val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("a", "b", "cosine")

@@ -24,24 +24,23 @@ object TextOps {
     * punctuation singletons — a deterministic stand-in for a real BPE
     * vocabulary (the plumbing is what matters at pipeline scale).
     */
-  private val bpeU = udf { (s: String) =>
-    if (s == null) 0
-    else {
-      var n = 0
-      var runLen = 0
-      s.foreach { c =>
-        if (Character.isLetterOrDigit(c)) {
-          runLen += 1
-          if (runLen == 4) { n += 1; runLen = 0 }
-        } else {
-          if (runLen > 0) { n += 1; runLen = 0 }
-          if (!Character.isWhitespace(c)) n += 1
-        }
+  def bpeCount(s: String): Int = {
+    if (s == null) return 0
+    var n = 0
+    var runLen = 0
+    s.foreach { c =>
+      if (Character.isLetterOrDigit(c)) {
+        runLen += 1
+        if (runLen == 4) { n += 1; runLen = 0 }
+      } else {
+        if (runLen > 0) { n += 1; runLen = 0 }
+        if (!Character.isWhitespace(c)) n += 1
       }
-      if (runLen > 0) n += 1
-      n
     }
+    if (runLen > 0) n += 1
+    n
   }
+  private val bpeU = udf(bpeCount _)
   def bpeTokenCountCol(text: Column): Column = bpeU(text)
 
   // ---- quality scoring -----------------------------------------------------

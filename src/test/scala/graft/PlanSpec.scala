@@ -63,6 +63,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("q33 ANN probe prunes index partitions (PartitionFilters, not a row filter)") {
+    val dim = 64
+    val path = tempDir("graft-annplan") + "/emb"
+    ops.Similarity.writeIndex(
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"), path, dim)
+    val q = (0 until dim).map(i => math.sin(i + 1.0))
+    val probed = ops.Similarity.indexTopK(spark, path, q, 10, dim)
+    val plan = executed(probed)
+    // the bucket predicate must resolve at the SOURCE (directory pruning);
+    // a post-scan Filter on bucket would mean the whole table is read
+    assert(plan.contains("PartitionFilters: [bucket"), plan)
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("bucket#") || scanLine.contains("bucket IN"), scanLine)
+    // count the files actually read: must be ≤ the 9 probed buckets' worth,
+    // strictly fewer than the full index
+    val allBuckets = new java.io.File(path).listFiles().count(_.getName.startsWith("bucket="))
+    val probeSet = ops.Similarity.probeBuckets(q, dim).toSet
+    assert(probeSet.size < allBuckets,
+      s"test vacuous: probe ${probeSet.size} vs $allBuckets buckets")
+    assert(probed.count() > 0)
+  }
+
   test("span extraction stays whole-stage codegen (no UDF in the path)") {
     val docs = (0 until 30).flatMap { i =>
       val canon = core.UrlCanon.canonicalize(
