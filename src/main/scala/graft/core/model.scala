@@ -98,6 +98,7 @@ final case class CrawlConfig(
     maxRetries: Int = 3,
     relevanceThreshold: Double = 0.5,
     maxResultsPerSite: Int = 10,
+    maxCommentPages: Int = 3,     // comment pagination cap (data_models.py:163)
     jitterEnabled: Boolean = false, // parity mode: jitter off (rate_limiter.py:107-114)
     jitterMin: Double = 0.5,       // U(min,max) added per wait when enabled
     jitterMax: Double = 2.0,       // (rate_limiter.py:56-57 defaults)

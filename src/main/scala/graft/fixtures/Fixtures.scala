@@ -243,7 +243,20 @@ object Fixtures {
     val nComments = bounded(mix(h, 46L), 9)            // 0..8
     val comments = (0 until nComments).map { i =>
       val ch = mix(h, 47L, i.toLong)
-      ("user" + bounded(ch, 5000), words(ch, 3 + bounded(mix(ch, 1L), 10), 48L), bounded(mix(ch, 2L), 100))
+      // per-comment date, emitted in the site's own markup below — the
+      // reference's Comment carries created_at (data_models.py:17-49) and
+      // its comment parsers extract it via the .date/.time/time ladder
+      // (generic.py:303-314)
+      val cmo = 1 + bounded(mix(ch, 3L), 12); val cd = 1 + bounded(mix(ch, 4L), 28)
+      val chh = bounded(mix(ch, 5L), 24); val cmi = bounded(mix(ch, 6L), 60)
+      val dateHtml = grammar match {
+        case "inven"    => f"""<span class="date">${y % 100}%02d.$cmo%d.$cd%d</span>""" // YY ladder
+        case "ruliweb"  => f"""<span class="date">$y%04d-$cmo%02d-$cd%02d $chh%02d:$cmi%02d</span>"""
+        case "dcinside" => f"""<span class="time">$cmo%02d-$cd%02d-$y%04d</span>""" // MDY ladder
+        case _          => f"""<time datetime="$y%04d-$cmo%02d-$cd%02dT$chh%02d:$cmi%02d:00">$y%04d-$cmo%02d-$cd%02d</time>"""
+      }
+      ("user" + bounded(ch, 5000), words(ch, 3 + bounded(mix(ch, 1L), 10), 48L),
+        bounded(mix(ch, 2L), 100), dateHtml)
     }
     val nLinks = bounded(mix(h, 49L), 5)               // 0..4 outlinks, same host
     val links = (0 until nLinks).map { i =>
@@ -264,8 +277,15 @@ object Fixtures {
         bodyFlow.append("<img src=\"https://cdn.example.org/img/")
           .append(bounded(mix(h, 37L, i.toLong), 100000)).append(".jpg\">\n")
     }
-    val commentHtml = comments.map { case (a, c, l) =>
-      s"""<div class="comment"><span class="author">$a</span><p class="ctext">$c</p><span class="clike">$l</span></div>"""
+    // comment pages of 4 blocks: pages ≥2 are announced by a sibling
+    // <hr class="cpage"> marker (the fixture analogue of the reference's
+    // paginated comment fetches, content_crawler.py:240-296 — one HTML
+    // carries all pages; the parser honors the max_comment_pages cap)
+    val commentHtml = comments.zipWithIndex.map { case ((a, c, l, dateHtml), i) =>
+      val marker =
+        if (i > 0 && i % 4 == 0) s"""<hr class="cpage" data-page="${i / 4 + 1}">\n""" else ""
+      marker +
+        s"""<div class="comment"><span class="author">$a</span><p class="ctext">$c</p>$dateHtml<span class="clike">$l</span></div>"""
     }.mkString("\n")
     val linkHtml = links.map(u => s"""<a href="$u">related</a>""").mkString("\n")
 

@@ -111,7 +111,7 @@ object SequentialOracle {
             }
           }
           if (status == "fetched") {
-            PageParser.parse(html, e.canonUrl) match {
+            PageParser.parse(html, e.canonUrl, config.maxCommentPages) match {
               case Some(p) =>
                 log += CrawlLogEntry(e.round, e.seq, e.url, e.canonUrl, e.host, "fetched", attempt)
                 docs += OracleDoc(e.seq, Doc(e.canonUrl, p.spans), p.outlinks)

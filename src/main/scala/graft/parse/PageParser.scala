@@ -38,14 +38,19 @@ object PageParser {
   /** grammar tag per host — the registry's domain dispatch. */
   def grammarFor(host: String): String = graft.fixtures.Fixtures.grammarOf(host)
 
-  def parse(html: String, url: String): Option[ParseOut] = {
+  /** `maxCommentPages`: the reference's comment pagination cap
+    * (CrawlerConfig.max_comment_pages, default 3 — data_models.py:163);
+    * comment blocks on pages beyond it are not collected.
+    */
+  def parse(html: String, url: String, maxCommentPages: Int = 3): Option[ParseOut] = {
     val host = UrlCanon.host(url)
-    val primary = parseGrammar(html, grammarFor(host))
+    val primary = parseGrammar(html, grammarFor(host), maxCommentPages)
     val out = primary match {
       case Some(p) if p.title.nonEmpty || bodyText(p).nonEmpty => Some(p)
       case _ =>
         // fallback to the generic grammar (Requirements 4.4 analogue)
-        parseGrammar(html, "generic").filter(p => p.title.nonEmpty || bodyText(p).nonEmpty)
+        parseGrammar(html, "generic", maxCommentPages)
+          .filter(p => p.title.nonEmpty || bodyText(p).nonEmpty)
     }
     out
   }
@@ -92,10 +97,22 @@ object PageParser {
   )
 
   private val PTag = """(?s)<p>(.*?)</p>|<img src="(.*?)">""".r
-  private val CommentBlock = """(?s)<div class="comment">(.*?)</div>""".r
+  /** One alternation over the comment region: page markers and comment
+    * blocks in document order (a marker announces the pagination page of
+    * the blocks that follow it; unmarked leading blocks are page 1).
+    */
+  private val CommentOrPage =
+    """(?s)<hr class="cpage" data-page="(\d+)">|<div class="comment">(.*?)</div>""".r
   private val CAuthor = """<span class="author">(.*?)</span>""".r
   private val CText = """(?s)<p class="ctext">(.*?)</p>""".r
   private val CLike = """<span class="clike">(\d+)</span>""".r
+  // comment-date ladder, in the reference's selector order '.date', '.time',
+  // 'time[datetime]' (generic.py:303-314); the datetime attr goes through
+  // the same date ladder (IsoPat first = fromisoformat semantics)
+  private val CDateSpan = """<span class="date">(.*?)</span>""".r
+  private val CTimeSpan = """<span class="time">(.*?)</span>""".r
+  private val CTimeAttr = """<time datetime="(.*?)"""".r
+  private val IsoOut = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
   private val Outlink = """<a href="(.*?)">""".r
   private val Digits = """\d[\d,]*""".r
   // date-string ladder, tried in the reference's order (F4):
@@ -206,7 +223,8 @@ object PageParser {
     iso.orElse(ymd).orElse(mdy).orElse(yy)
   }
 
-  private def parseGrammar(html: String, grammar: String): Option[ParseOut] = {
+  private def parseGrammar(html: String, grammar: String,
+      maxCommentPages: Int = 3): Option[ParseOut] = {
     val meta = MetaScans(grammar)
     val found = meta.scan(html)
     val title = meta.value(found, 0)
@@ -224,22 +242,34 @@ object PageParser {
       else add("media", null, m.group(2))
     }
     // comments follow the body flow in document order; scan from the
-    // content position via a matcher REGION (no 16 KB substring copy)
+    // content position via a matcher REGION (no 16 KB substring copy).
+    // Pagination cap: blocks announced under a page marker > maxCommentPages
+    // are NOT collected — the reference fetches at most max_comment_pages
+    // comment pages per post (content_crawler.py:240-296, default 3).
     val regionStart = contentMatch.map(_.start(1)).getOrElse(0)
-    val cm = CommentBlock.pattern.matcher(html)
+    val cm = CommentOrPage.pattern.matcher(html)
     cm.region(regionStart, html.length)
     val comments = {
       val b = Vector.newBuilder[String]
-      while (cm.find()) b += cm.group(1)
+      var page = 1
+      while (page <= maxCommentPages && cm.find()) {
+        if (cm.group(1) != null) page = cm.group(1).toInt
+        else if (page <= maxCommentPages) b += cm.group(2)
+      }
       b.result()
     }
     val parsedComments = comments.flatMap { c =>
       val text = CText.findFirstMatchIn(c).map(_.group(1).trim).getOrElse("")
       if (text.isEmpty) None
-      else Some(graft.core.ParsedComment(
-        CAuthor.findFirstMatchIn(c).map(_.group(1)).getOrElse("익명"), text,
-        createdAt = None, // fixture comment blocks carry no date (generic.py comments don't either)
-        CLike.findFirstMatchIn(c).map(_.group(1).toInt).getOrElse(0)))
+      else {
+        val dateStr = CDateSpan.findFirstMatchIn(c).map(_.group(1))
+          .orElse(CTimeSpan.findFirstMatchIn(c).map(_.group(1)))
+          .orElse(CTimeAttr.findFirstMatchIn(c).map(_.group(1)))
+        Some(graft.core.ParsedComment(
+          CAuthor.findFirstMatchIn(c).map(_.group(1)).getOrElse("익명"), text,
+          createdAt = dateStr.flatMap(parseDate).map(_.format(IsoOut)),
+          CLike.findFirstMatchIn(c).map(_.group(1).toInt).getOrElse(0)))
+      }
     }
     parsedComments.foreach(pc => add("comment", pc.content, null))
 

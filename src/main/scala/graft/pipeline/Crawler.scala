@@ -448,7 +448,7 @@ final class Crawler(
         })
         val (status, attempts, html) = clock.fetchOne(f, e.canonUrl)
         val row = if (status == "fetched") {
-          PageParser.parse(html, e.canonUrl) match {
+          PageParser.parse(html, e.canonUrl, cfg.maxCommentPages) match {
             case Some(parsed) =>
               if (retain)
                 FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "fetched",

@@ -223,6 +223,14 @@ class AnalysisPipelineSpec extends SparkSpec {
     assert(gotAuthors == wantAuthors)
     val wantLikes = docsLocal.flatMap(_.comments.map(_.likeCount.toLong)).sum
     assert(comments.agg(sum($"like_count".cast("long"))).head().getLong(0) == wantLikes)
+    // comment created_at is REAL data now (fixture dates → parser ladder →
+    // export), matching the reference Comment's carried metadata
+    val wantDates = docsLocal.flatMap(_.comments.map(_.createdAt.getOrElse(""))).sorted
+    assert(wantDates.exists(_.nonEmpty), "fixture comments should carry dates")
+    val gotDates = comments.select("created_at").as[String].collect().toVector.sorted
+    assert(gotDates == wantDates)
+    assert(gotDates.filter(_.nonEmpty)
+      .forall(_.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}""")))
     graft.sinks.Exporters.writeByDate(view, s"$dir/bydate")
     val bydate = spark.read.parquet(s"$dir/bydate")
     assert(bydate.count() == docsLocal.size)

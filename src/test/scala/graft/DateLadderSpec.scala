@@ -50,4 +50,59 @@ class DateLadderSpec extends AnyFunSuite {
     // '24.01.15' inside '2024.01.15' must NOT be read as 2044-01-15
     assert(p("2024.01.15").contains(LocalDateTime.of(2024, 1, 15, 0, 0)))
   }
+
+  // ---- comment metadata (generic.py:275-332 semantics) ---------------------
+
+  private def page(comments: String) =
+    s"""<html><body><h1 class="title">t</h1><div class="post-content"><p>b</p></div>
+        <div class="comments">
+        $comments
+        </div></body></html>"""
+
+  private def cblock(text: String, date: String = "") =
+    s"""<div class="comment"><span class="author">u</span><p class="ctext">$text</p>$date<span class="clike">1</span></div>"""
+
+  test("comment created_at: .date / .time / time[datetime] ladder, reference order") {
+    val html = page(
+      cblock("c1", """<span class="date">2024-03-07 14:22</span>""") + "\n" +
+      cblock("c2", """<span class="time">03-07-2024</span>""") + "\n" +
+      cblock("c3", """<time datetime="2024-03-07T14:22:00">x</time>""") + "\n" +
+      cblock("c4") + "\n" +
+      // .date outranks time[datetime] when both are present
+      cblock("c5", """<time datetime="2020-01-01T00:00:00">x</time><span class="date">2024-03-07</span>"""))
+    val got = PageParser.parse(html, "https://steam.example.org/board/0/post/1").get.comments
+    assert(got.map(_.createdAt) == Vector(
+      Some("2024-03-07T14:22:00"), Some("2024-03-07T00:00:00"),
+      Some("2024-03-07T14:22:00"), None, Some("2024-03-07T00:00:00")))
+  }
+
+  test("comment pagination cap: pages past max_comment_pages are dropped (default 3)") {
+    val blocks = (1 to 4).map { pg =>
+      val marker = if (pg > 1) s"""<hr class="cpage" data-page="$pg">\n""" else ""
+      marker + cblock(s"page$pg")
+    }.mkString("\n")
+    val url = "https://steam.example.org/board/0/post/2"
+    val capped = PageParser.parse(page(blocks), url).get.comments
+    assert(capped.map(_.content) == Vector("page1", "page2", "page3"),
+      s"page-4 comments must be dropped, got ${capped.map(_.content)}")
+    val uncapped = PageParser.parse(page(blocks), url, maxCommentPages = 4).get.comments
+    assert(uncapped.map(_.content) == Vector("page1", "page2", "page3", "page4"))
+    val one = PageParser.parse(page(blocks), url, maxCommentPages = 1).get.comments
+    assert(one.map(_.content) == Vector("page1"))
+  }
+
+  test("fixture comments carry dates end to end (all four grammars)") {
+    val hosts = Seq("steam.example.org", "inven.example.kr",
+      "ruliweb.example.kr", "dcinside.example.kr")
+    val parsed = hosts.flatMap { h =>
+      (0 until 200).flatMap { i =>
+        val u = graft.fixtures.Fixtures.cleanUrl(h, 0, i)
+        PageParser.parse(graft.fixtures.Fixtures.html(u), u).toSeq.flatMap(_.comments)
+      }
+    }
+    assert(parsed.nonEmpty)
+    assert(parsed.forall(_.createdAt.isDefined),
+      "every fixture comment block now carries a parsable date")
+    assert(parsed.flatMap(_.createdAt).forall(_.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}""")))
+  }
 }
