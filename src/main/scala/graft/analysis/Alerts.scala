@@ -14,10 +14,18 @@ final case class AlertRow(
     priority: String,   // critical | high | medium | low
     title: String,
     message: String,
+    created_at: String, // ISO of the injected `now` (reference: datetime.now())
     game_id: String,
     related_posts: Seq[String],
     related_issue_id: String,
-    is_urgent: Boolean)
+    is_urgent: Boolean,
+    /** The reference Alert's free-form metadata dict (alert_manager.py:
+      * 178-183, 230-234, 275-280), values stringified for a stable Spark
+      * schema: hot → post_count/total_views/priority_score/sentiment_avg;
+      * spike → spike_date/sentiment_value/post_count; urgent adds
+      * post_count_in_period/hours/is_bug.
+      */
+    metadata: Map[String, String])
 
 /** Alert generation re-expressing the reference's AlertManager
   * (/root/reference/crawler/analysis/alert_manager.py):
@@ -57,34 +65,58 @@ object Alerts {
   def generate(spark: SparkSession, docs: DataFrame, issues: Seq[Issue],
       scored: DataFrame, gameId: String, now: java.sql.Timestamp): Vector[AlertRow] = {
     val urgent = urgentCounts(spark, docs, issues, now)
+    val createdAt = now.toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
 
     val hotAlerts = issues.filter(_.is_hot).zipWithIndex.map { case (i, k) =>
-      val isUrgent = urgent.getOrElse(i.issue_id, 0L) >= UrgentMinPosts
+      val inWindow = urgent.getOrElse(i.issue_id, 0L)
+      val isUrgent = inWindow >= UrgentMinPosts
+      val meta = Map(
+        "post_count" -> i.post_count.toString,
+        "total_views" -> i.total_views.toString,
+        "priority_score" -> i.priority_score.toString,
+        "sentiment_avg" -> i.sentiment_avg.toString) ++
+        // the reference's separate URGENT alert carries the window counts
+        // (alert_manager.py:275-280); here urgency is a flag on the hot
+        // alert, so its metadata is merged in when it fires
+        (if (isUrgent) Map(
+          "post_count_in_period" -> inWindow.toString,
+          "hours" -> UrgentHours.toString,
+          "is_bug" -> i.is_bug.toString)
+        else Map.empty[String, String])
       AlertRow(
         alert_id = f"alert_hot_$k%04d",
         alert_type = "hot_issue",
         priority = if (isUrgent) "critical" else if (i.is_bug) "high" else "medium",
         title = s"Hot issue: ${i.title}",
         message = s"issue ${i.title} with ${i.post_count} posts, priority ${i.priority_score}",
+        created_at = createdAt,
         game_id = gameId,
         related_posts = i.related_posts.take(10),
         related_issue_id = i.issue_id,
-        is_urgent = isUrgent)
+        is_urgent = isUrgent,
+        metadata = meta)
     }
 
     val spikeRows = Trends.spikes(
       Trends.sentimentTrend(scored, "daily"), SpikeThreshold).collect()
     val spikeAlerts = spikeRows.toVector.zipWithIndex.map { case (r, k) =>
+      val spikeDate = r.getTimestamp(0).toLocalDateTime.toLocalDate.toString
       AlertRow(
         alert_id = f"alert_spike_$k%04d",
         alert_type = "sentiment_spike",
         priority = "high",
         title = s"Negative sentiment spike on ${r.getTimestamp(0)}",
         message = s"avg sentiment ${r.getDouble(1)} over ${r.getLong(2)} posts",
+        created_at = createdAt,
         game_id = gameId,
         related_posts = Seq.empty,
         related_issue_id = "",
-        is_urgent = false)
+        is_urgent = false,
+        metadata = Map(
+          "spike_date" -> spikeDate,
+          "sentiment_value" -> r.getDouble(1).toString,
+          "post_count" -> r.getLong(2).toString))
     }
 
     // O7: priority rank asc, then creation (generation) order — stable

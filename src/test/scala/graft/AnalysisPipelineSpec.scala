@@ -1,7 +1,8 @@
 package graft
 
 import graft.analysis._
-import graft.core.{Span, UrlCanon}
+import graft.core.{CrawlConfig, GameProfile, GameProfileManager, Span, UrlCanon}
+import graft.pipeline.GameRunner
 import graft.fixtures.Fixtures
 import graft.parse.PageParser
 import graft.query.{Dashboard, PostFilters}
@@ -201,6 +202,57 @@ class AnalysisPipelineSpec extends SparkSpec {
     // ordering: priority rank ascending
     val ranks = a2.map(a => Map("critical" -> 0, "high" -> 1, "medium" -> 2, "low" -> 3)(a.priority))
     assert(ranks == ranks.sorted)
+    // full reference field set (alert_manager.py:46-63): created_at stamps
+    // the injected now; metadata carries the per-type dict
+    a2.foreach { a =>
+      assert(a.created_at == maxDate.toLocalDateTime.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+      a.alert_type match {
+        case "hot_issue" =>
+          assert(Set("post_count", "total_views", "priority_score", "sentiment_avg")
+            .subsetOf(a.metadata.keySet))
+          val issue = issues.find(_.issue_id == a.related_issue_id).get
+          assert(a.metadata("post_count") == issue.post_count.toString)
+          if (a.is_urgent)
+            assert(Set("post_count_in_period", "hours", "is_bug").subsetOf(a.metadata.keySet))
+        case "sentiment_spike" =>
+          assert(Set("spike_date", "sentiment_value", "post_count") == a.metadata.keySet)
+        case other => fail(s"unexpected alert_type $other")
+      }
+    }
+  }
+
+  test("profile-driven crawl routes outputs under the game's directories") {
+    val base = tempDir("graft-games")
+    val mgr = new GameProfileManager(s"$base/data", s"$base/qs")
+    // validation mirrors game_profile.py __post_init__ ValueErrors
+    intercept[IllegalArgumentException](GameProfile("", "G", Seq("k"), Seq("s")))
+    intercept[IllegalArgumentException](GameProfile("g", " ", Seq("k"), Seq("s")))
+    intercept[IllegalArgumentException](GameProfile("g", "G", Seq.empty, Seq("s")))
+    intercept[IllegalArgumentException](GameProfile("g", "G", Seq("k"), Seq.empty))
+
+    val corpus = Fixtures.seeds(400)
+    val adapter = new graft.fetch.FixtureSearchAdapter("fix", corpus)
+    val search = new graft.fetch.SearchManager(IndexedSeq(adapter))
+    val profile = GameProfile("lostark", "Lost Ark",
+      keywords = Seq("lostark"), target_sites = Fixtures.Hosts.take(6))
+    // by-id before registration → None (orchestrator.py:550-555)
+    val cfg = CrawlConfig(maxRounds = 1, seenPartitions = 4,
+      bloomExpectedPerPartition = 10000L)
+    val now = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    assert(GameRunner.crawlGameById(spark, mgr, search, "lostark", cfg, now).isEmpty)
+
+    val res = GameRunner.crawlGame(spark, mgr, search, profile, cfg, now)
+    assert(res.dataDir == s"$base/data/lostark" && res.quicksightDir == s"$base/qs/lostark")
+    assert(res.scheduled > 0 && res.docs > 0)
+    // snapshot store and quicksight tables land under the game's dirs
+    assert(new java.io.File(s"$base/data/lostark/data/docs").exists())
+    for (t <- Seq("posts", "comments", "sentiment", "issues"))
+      assert(new java.io.File(s"$base/qs/lostark/$t").exists(), t)
+    // registered now; by-id resolves and game_id stamps the export
+    assert(mgr.getProfile("lostark").contains(profile))
+    val qsIssues = spark.read.option("header", "true").csv(s"$base/qs/lostark/issues")
+    assert(qsIssues.select("game_id").distinct().as[String].collect().toSeq == Seq("lostark"))
   }
 
   test("exporters round-trip: flat posts, exploded comments, quicksight") {
