@@ -305,9 +305,13 @@ final class Crawler(
 
     // bloom bank fold: build this round's bank from the cached roundSeen,
     // then OR-merge into the accumulated bank — both narrow on the bank
-    // side (no driver collect, no broadcast, no bank-sized shuffle)
+    // side (no driver collect, no broadcast, no bank-sized shuffle).
+    // Width follows the ACCUMULATED bank (a resumed bank keeps the width it
+    // was built with — filters cannot be re-hashed); a changed
+    // config.seenPartitions is adopted at the next collapse-cycle rebuild.
+    val bankWidth = bankAcc.map(_.width).getOrElse(config.seenPartitions)
     val roundBank = DistBloomBank.buildRound(roundSeen, "canon",
-      config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp).persist()
+      bankWidth, config.bloomExpectedPerPartition, config.bloomFpp).persist()
     val mergedBank = bankAcc match {
       case Some(old) => DistBloomBank.merge(old, roundBank).persist()
       case None      => roundBank

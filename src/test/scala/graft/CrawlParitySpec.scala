@@ -98,6 +98,24 @@ class CrawlParitySpec extends SparkSpec {
     assert(got == oracle.crawlLog.sortBy(_.seq))
   }
 
+  test("resume under a CHANGED seenPartitions config: no re-crawl, exact parity") {
+    // the ADVICE-flagged failure mode: round-2 banks loaded at the resume
+    // config's width, probing the wrong filters → bloom 'false' (treated as
+    // definitely-new) → silent re-crawl of seen URLs. Banks are now
+    // self-describing; a width change must leave the crawl byte-identical.
+    import spark.implicits._
+    val dir = tempDir("graft-resume-width")
+    new Crawler(spark, config.copy(maxRounds = 1), dir).run(spark.createDataset(seeds))
+    val c2 = new Crawler(spark, config.copy(seenPartitions = 5), dir) // 8 → 5
+    c2.run(spark.createDataset(seeds))
+    val got = spark.read.parquet(s"$dir/data/crawl_log/round=0", s"$dir/data/crawl_log/round=1")
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    assert(got == oracle.crawlLog.sortBy(_.seq))
+    val seen = spark.read.parquet(s"$dir/data/seen/round=0", s"$dir/data/seen/round=1")
+      .orderBy("seq").select("canonUrl").as[String].collect().toVector
+    assert(seen == oracle.seen, "duplicate/missing URLs after width-changed resume")
+  }
+
   test("three-round crawl parity (deeper frontier expansion)") {
     import spark.implicits._
     val cfg3 = config.copy(maxRounds = 3)

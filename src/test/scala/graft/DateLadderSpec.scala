@@ -51,6 +51,18 @@ class DateLadderSpec extends AnyFunSuite {
     assert(p("2024.01.15").contains(LocalDateTime.of(2024, 1, 15, 0, 0)))
   }
 
+  test("fused MetaScan keeps per-ladder firstMatch semantics under NESTED markup") {
+    // author's ONLY occurrence starts inside the title slot's matched span;
+    // a scanner resuming at match END would drop it (the pre-round-3 bug
+    // shape) — the restart-at-start+1 scan must still find it
+    val html =
+      """<html><body><h1 class="title">hello <span class="author">bob</span> world</h1>
+         <div class="post-content"><p>b</p></div></body></html>"""
+    val p = PageParser.parse(html, "https://steam.example.org/board/0/post/3").get
+    assert(p.title == """hello <span class="author">bob</span> world""")
+    assert(p.author == "bob", "nested author slot must not be swallowed by the title span")
+  }
+
   // ---- comment metadata (generic.py:275-332 semantics) ---------------------
 
   private def page(comments: String) =
