@@ -413,6 +413,46 @@ object SparkEntry {
       graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 3)
         .orderBy(col("a"), col("b"))
     }),
+
+    // ---- corpus preparation (PII / sampling / packing / IVF) -----------------
+    "q42_pii_redact" -> ((s, d) => {
+      // word-salad docs carry no PII — augment with deterministic
+      // PII-shaped tails (pure SQL-expressible) so the ladder fires
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), id, lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" ref 9000000"), id)).otherwise(lit("")))
+      rt(s, d, "documents")
+        .select(col("doc_id"), graft.ops.Corpus.redactPiiCol(aug).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    "q43_stratified_sample" -> ((s, d) => {
+      graft.ops.Corpus.stratifiedSample(rt(s, d, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q44_ivf_topk" -> ((s, d) => {
+      // IVF-flat ANN over the stored cell-partitioned index: the probe
+      // reads only nprobe cells' files (partition pruning, q33 pattern)
+      val dim = 64
+      val q = (0 until dim).map(i => math.cos(i + 1.0))
+      graft.ops.Similarity.ivfTopK(s, ivfIndex(s, d, dim), q, 10, dim)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("cell").cast("int").as("cell"))
+    }),
+    "q45_sequence_packing" -> ((s, d) => {
+      val docs = rt(s, d, "documents").select(col("doc_id"),
+        graft.ops.TextOps.tokenCountCol(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Corpus.packSequences(docs, 4096L, "doc_id", "n_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Once-per-JVM ANN index build (deterministic content — rebuild in a
@@ -423,6 +463,14 @@ object SparkEntry {
     annIndexCache.getOrElseUpdate(d, {
       val path = java.nio.file.Files.createTempDirectory("graft-ann-index").toString + "/emb"
       graft.ops.Similarity.writeIndex(rt(s, d, "embeddings"), path, dim)
+      path
+    })
+
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfIndex(s: SparkSession, d: String, dim: Int): String =
+    ivfIndexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString + "/emb"
+      graft.ops.Similarity.writeIvfIndex(rt(s, d, "embeddings"), path, dim)
       path
     })
 
@@ -710,6 +758,41 @@ object SparkEntry {
          FROM guarded a JOIN guarded b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          ORDER BY band, a, b""",
+    "q42_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text
+             || (CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0
+                 THEN ' ref 9000000' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+             '\d{9,}', '[NUM]', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+    "q43_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_sample'), 1, 8))::BIGINT
+               / 4294967296.0
+             < (CASE WHEN lang = 'en' THEN 0.5
+                     WHEN lang = 'de' THEN 0.25 ELSE 0.1 END)
+         ORDER BY doc_id""",
+    "q45_sequence_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN length(text) = 0 THEN 0
+                       ELSE (length(text) - length(replace(text, ' ', ''))) + 1 END
+                       AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens,
+                COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS seq_id
+         FROM t ORDER BY doc_id""",
     // deterministic span corpus: the VALUES list is generated from the
     // same pure-Scala fixture+parser functions the sbt parity suite pins
     // against the sequential oracle; the driver check then verifies the
@@ -881,6 +964,25 @@ object SparkEntry {
           ORDER BY a, b"""
     }
 
-    (q28 ++ q33 ++ q34 ++ q38 ++ q41).toMap
+    val q44 = entry("q44_ivf_topk") {
+      val dim = 64
+      val cs = graft.ops.Similarity.ivfCentroids(dim, 16, 42L)
+      val cells = readEmbeddingsForOracle().map { case (id, v) =>
+        s"($id, ${graft.ops.Similarity.ivfCellOf(v, cs)})"
+      }.mkString(", ")
+      val qSeq = (0 until dim).map(i => math.cos(i + 1.0))
+      val probe = graft.ops.Similarity.ivfProbeCells(qSeq, dim, 16, 4, 42L).mkString(", ")
+      val qv = qSeq.map(x => f"$x%.17g").mkString("[", ", ", "]")
+      s"""WITH v(vec_id, cell) AS (VALUES $cells),
+          c AS (SELECT e.vec_id, v.cell,
+                  list_cosine_similarity(
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)), $qv) AS cos
+                FROM embeddings e JOIN v ON e.vec_id = v.vec_id
+                WHERE v.cell IN ($probe))
+          SELECT vec_id, round(cos, 6) AS cosine, CAST(cell AS INT) AS cell
+          FROM c ORDER BY cos DESC, vec_id LIMIT 10"""
+    }
+
+    (q28 ++ q33 ++ q34 ++ q38 ++ q41 ++ q44).toMap
   }
 }

@@ -123,6 +123,78 @@ object Similarity {
     bruteForceTopK(pruned, query, k)
   }
 
+  // ---- IVF (inverted-file) ANN ---------------------------------------------
+
+  /** Deterministic IVF centroids: k seeded pseudo-random directions,
+    * L2-normalized (IVF-flat with fixed random centroids — the
+    * training-free baseline; cell assignment = nearest centroid by cosine,
+    * which for unit centroids is argmax dot).
+    */
+  def ivfCentroids(dim: Int, k: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(k) { c =>
+      val raw = Array.tabulate(dim) { i =>
+        graft.fixtures.Fixtures.mix(seed, 7000L + c, i.toLong).toDouble / Long.MaxValue.toDouble
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+
+  /** Cell of a vector: argmax over centroid dot products (ties → lowest
+    * cell id). Pure function — shared by the executor UDF, the query-side
+    * probe and oracle generation.
+    */
+  def ivfCellOf(v: Seq[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      var dot = 0.0; var i = 0
+      val ctr = centroids(c)
+      val n = math.min(v.length, ctr.length)
+      while (i < n) { dot += v(i) * ctr(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def ivfCellCol(embedding: Column, dim: Int, k: Int, seed: Long): Column = {
+    val cs = ivfCentroids(dim, k, seed)
+    udf((v: Seq[Float]) => ivfCellOf(v, cs)).apply(embedding)
+  }
+
+  /** The nprobe cells nearest the query (by the same dot ranking). */
+  def ivfProbeCells(query: Seq[Double], dim: Int, k: Int, nprobe: Int,
+      seed: Long): Seq[Int] = {
+    val cs = ivfCentroids(dim, k, seed)
+    cs.zipWithIndex
+      .map { case (ctr, c) => (c, ctr.zip(query).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (c, dot) => (-dot, c) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
+  /** Materialize the IVF index: embeddings laid out partitionBy(cell) —
+    * probes read only the nprobe probed cells' files (partition pruning,
+    * like writeIndex/indexTopK). k is the corpus-size knob: cells of
+    * ~10³-10⁴ vectors (10^10 vectors want k ≈ 10^6, far beyond the 2^planes
+    * granularity sign-bucket LSH offers at small plane counts).
+    */
+  def writeIvfIndex(embeddings: DataFrame, path: String, dim: Int,
+      k: Int = 16, seed: Long = 42L): Unit =
+    embeddings
+      .withColumn("cell", ivfCellCol(col("embedding"), dim, k, seed))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF top-k: partition-pruned read of the nprobe nearest cells,
+    * brute-force cosine within.
+    */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      query: Seq[Double], topK: Int, dim: Int, k: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val probe = ivfProbeCells(query, dim, k, nprobe, seed)
+    bruteForceTopK(
+      spark.read.parquet(indexPath).filter(col("cell").isin(probe: _*)), query, topK)
+  }
+
   /** All-pairs top neighbors per vector within LSH buckets (batch ANN):
     * returns (a, b, cosine) for each vector's nearest `k` bucket-mates.
     */

@@ -160,6 +160,80 @@ class OpsSpec extends SparkSpec {
     assert(TextOps.langIdScala("xyzzy") == "und")
   }
 
+  test("PII redaction ladder: emails, dotted quads, long digit runs") {
+    val in = Seq(
+      "write to bob.smith+x@mail.example.com or 10.20.30.40 id 1234567890 done",
+      "no pii here 123",
+      "a@b.io").toDF("text")
+    val got = in.select(Corpus.redactPiiCol($"text").as("r")).as[String].collect().toSeq
+    assert(got == Seq(
+      "write to [EMAIL] or [IP] id [NUM] done",
+      "no pii here 123",
+      "[EMAIL]"))
+  }
+
+  test("stratified sample: deterministic across partitioning, fractions honored") {
+    val base = docs.select($"doc_id", $"lang")
+    val frac = Map("en" -> 0.5, "de" -> 0.25)
+    val a = Corpus.stratifiedSample(base, "lang", "doc_id", frac, 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.stratifiedSample(base.repartition(7), "lang", "doc_id", frac, 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    // fractions within loose binomial tolerance at sf0.001 sizes
+    val perLang = base.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val keptEn = Corpus.stratifiedSample(base, "lang", "doc_id", frac, 0.1)
+      .filter($"lang" === "en").count().toDouble
+    val n = perLang.getOrElse("en", 0L).toDouble
+    assert(n == 0 || math.abs(keptEn / n - 0.5) < 0.25, s"en kept ${keptEn / n}")
+  }
+
+  test("sequence packing: matches sequential replica, partitioning-independent") {
+    val base = docs.select($"doc_id",
+      TextOps.tokenCountCol($"text").cast("long").as("n_tokens"))
+    val got = Corpus.packSequences(base, 512L, "doc_id", "n_tokens")
+      .select("doc_id", "n_tokens", "seq_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toVector
+    // driver-side sequential replica: exclusive prefix sum div capacity
+    val local = base.as[(Long, Long)].collect().sortBy(_._1).toVector
+    var prefix = 0L
+    val want = local.map { case (id, t) =>
+      val bin = prefix / 512L; prefix += t; (id, t, bin)
+    }
+    assert(got == want)
+    val got13 = Corpus.packSequences(base.repartition(13), 512L, "doc_id", "n_tokens")
+      .select("doc_id", "n_tokens", "seq_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toVector
+    assert(got13 == want, "packing must not depend on input partitioning")
+    assert(want.map(_._3).distinct.size > 1, "test vacuous: everything in one bin")
+  }
+
+  test("IVF ANN: cell assignment pure-function parity; probe equals in-cell brute force") {
+    val dim = 64
+    val cs = Similarity.ivfCentroids(dim, 16, 42L)
+    val cells = emb.select($"vec_id", Similarity.ivfCellCol($"embedding", dim, 16, 42L).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val local = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    local.foreach { case (id, v) =>
+      assert(cells(id) == Similarity.ivfCellOf(v, cs), s"cell mismatch vec $id")
+    }
+    val path = tempDir("graft-ivf") + "/emb"
+    Similarity.writeIvfIndex(emb, path, dim)
+    val q = (0 until dim).map(i => math.cos(i + 1.0))
+    val got = Similarity.ivfTopK(spark, path, q, 5, dim)
+      .select("vec_id").as[Long].collect().toSeq
+    // replica: exact cosine ranking restricted to the probed cells
+    val probe = Similarity.ivfProbeCells(q, dim, 16, 4, 42L).toSet
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val want = local.filter { case (id, _) => probe(cells(id)) }
+      .map { case (id, v) =>
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (id, dot / (vn * qn))
+      }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    assert(got == want)
+  }
+
   test("multimodal plumbing: media table from spans, stubbed features, frame sampling") {
     val fixtureDocs = (0 until 100).flatMap { i =>
       val canon = graft.core.UrlCanon.canonicalize(

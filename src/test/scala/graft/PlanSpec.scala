@@ -85,6 +85,18 @@ class PlanSpec extends SparkSpec {
     assert(probed.count() > 0)
   }
 
+  test("q44 IVF probe prunes cell partitions at the source") {
+    val dim = 64
+    val path = tempDir("graft-ivfplan") + "/emb"
+    ops.Similarity.writeIvfIndex(
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"), path, dim)
+    val q = (0 until dim).map(i => math.cos(i + 1.0))
+    val plan = executed(ops.Similarity.ivfTopK(spark, path, q, 10, dim))
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    val nCells = new java.io.File(path).listFiles().count(_.getName.startsWith("cell="))
+    assert(ops.Similarity.ivfProbeCells(q, dim, 16, 4, 42L).size < nCells)
+  }
+
   test("span extraction stays whole-stage codegen (no UDF in the path)") {
     val docs = (0 until 30).flatMap { i =>
       val canon = core.UrlCanon.canonicalize(
