@@ -43,6 +43,30 @@ object Streaming {
       .filter(col("n") >= graft.analysis.Alerts.UrgentMinPosts)
       .select(col("window.start").as("window_start"), col("keyword"), col("n"))
 
+  /** W4/U5 as streaming state: first-wins URL-seen dedup over an appending
+    * candidate stream via flatMapGroupsWithState keyed by canonical URL —
+    * the streaming twin of the batch window-dedup + seen anti-join. Each
+    * key's state is one boolean ("emitted already"); within a micro-batch
+    * the earliest discovery (ord0, ord1) wins, matching the batch order.
+    * State is unbounded by design here (the batch engine's bloom+exact
+    * tier is the scale path; a TTL'd GroupStateTimeout would bound it for
+    * bounded-revisit policies).
+    */
+  def seenDedupStream(cands: Dataset[(String, String, Long, Int)]): Dataset[(String, String, Long, Int)] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .groupByKey(_._1) // canonical URL
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, String, Long, Int)], state: GroupState[Boolean]) => {
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(rows.minBy(r => (r._3, r._4))) // first discovery wins
+          }
+        })
+  }
+
   /** Serializable per-host scheduler state for GroupState (mirrors
     * HostClock / the checkpointed host_state table).
     */

@@ -82,6 +82,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming URL-seen dedup: first discovery wins, once per key across batches") {
+    // candidates with noisy duplicates, as (canon, url, ord0, ord1)
+    val cands = (0 until 300).map { i =>
+      val h = Fixtures.mix(91L, i.toLong)
+      val host = Fixtures.pickSite(h)
+      val url = Fixtures.noisyUrl(host, Fixtures.bounded(h, 4),
+        Fixtures.bounded(Fixtures.mix(h, 1L), 60), Fixtures.mix(h, 2L)) // small post space → many dups
+      (UrlCanon.canonicalize(url), url, i.toLong, 0)
+    }
+    val dir = tempDir("graft-stream-dedup") + "/data"
+    spark.createDataset(cands).toDF("canon", "url", "ord0", "ord1").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[(String, String, Long, Int)]
+    val q = graft.streaming.Streaming.seenDedupStream(stream)
+      .toDF("canon", "url", "ord0", "ord1")
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup").as[(String, String, Long, Int)]
+      .collect().map(r => r._1 -> (r._3, r._4)).toMap
+    // batch replica: min (ord0, ord1) per canon, exactly once per canon
+    val want = cands.groupBy(_._1).view
+      .mapValues(rs => rs.map(r => (r._3, r._4)).min).toMap
+    assert(got == want)
+    assert(cands.size > want.size, "test vacuous: no duplicate candidates")
+  }
+
   test("urgent sliding-window counts emit only above the threshold") {
     val schema = spark.read.parquet(docsDir).schema
     val stream = spark.readStream.schema(schema).parquet(docsDir)
