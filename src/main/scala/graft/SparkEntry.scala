@@ -713,7 +713,7 @@ object SparkEntry {
          ORDER BY a, b""",
     "q32_cosine_topk" -> {
       val dim = 64
-      val qv = (0 until dim).map(i => f"${math.sin(i + 1.0)}%.17g").mkString("[", ", ", "]")
+      val qv = (0 until dim).map(i => sqlDouble(math.sin(i + 1.0))).mkString("[", ", ", "]")
       s"""WITH c AS (
             SELECT vec_id,
                    list_cosine_similarity(
@@ -790,8 +790,9 @@ object SparkEntry {
                        AS BIGINT) AS n_tokens
            FROM documents)
          SELECT doc_id, n_tokens,
-                COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS seq_id
+                CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) // 4096 AS seq_id
          FROM t ORDER BY doc_id""",
     // deterministic span corpus: the VALUES list is generated from the
     // same pure-Scala fixture+parser functions the sbt parity suite pins
@@ -823,15 +824,30 @@ object SparkEntry {
   private def sqlLit(s: String): String =
     if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
 
-  private def readDocsForOracle(): Seq[(Long, String)] =
-    SparkSession.active.read.parquet(s"$oracleDataDir/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
+  /** Locale-pinned double literal: a non-English default locale would
+    * otherwise render comma decimal separators inside SQL list literals.
+    */
+  private def sqlDouble(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17g", Double.box(x))
 
+  // one driver-side snapshot per (table, sf dir) — several oracle
+  // generators share each table; re-collecting per generator would
+  // multiply full-table scans at dump time
+  private val docsOracleCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String)]]
+  private def readDocsForOracle(): Seq[(Long, String)] =
+    docsOracleCache.getOrElseUpdate(oracleDataDir,
+      SparkSession.active.read.parquet(s"$oracleDataDir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+
+  private val embOracleCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Float])]]
   private def readEmbeddingsForOracle(): Seq[(Long, Seq[Float])] =
-    SparkSession.active.read.parquet(s"$oracleDataDir/embeddings.parquet")
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    embOracleCache.getOrElseUpdate(oracleDataDir,
+      SparkSession.active.read.parquet(s"$oracleDataDir/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
 
   /** (vec_id, sign bucket) under the q33/q34 seeded planes. */
   private def vecBucketValues(dim: Int): String = {
@@ -850,7 +866,7 @@ object SparkEntry {
 
   private val queryVecSql: String = {
     val dim = 64
-    (0 until dim).map(i => f"${math.sin(i + 1.0)}%.17g").mkString("[", ", ", "]")
+    (0 until dim).map(i => sqlDouble(math.sin(i + 1.0))).mkString("[", ", ", "]")
   }
 
   /** Each entry individually guarded: a generation failure (e.g. missing
@@ -972,7 +988,7 @@ object SparkEntry {
       }.mkString(", ")
       val qSeq = (0 until dim).map(i => math.cos(i + 1.0))
       val probe = graft.ops.Similarity.ivfProbeCells(qSeq, dim, 16, 4, 42L).mkString(", ")
-      val qv = qSeq.map(x => f"$x%.17g").mkString("[", ", ", "]")
+      val qv = qSeq.map(sqlDouble).mkString("[", ", ", "]")
       s"""WITH v(vec_id, cell) AS (VALUES $cells),
           c AS (SELECT e.vec_id, v.cell,
                   list_cosine_similarity(

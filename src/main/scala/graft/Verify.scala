@@ -18,7 +18,9 @@ object Verify {
     def rmTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close() // Files.walk holds a directory handle until closed
       }
     SparkEntry.queries.foreach { case (name, fn) =>
       // delete-before-write: a failed query must leave NO stale parquet from

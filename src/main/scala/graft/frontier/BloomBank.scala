@@ -49,12 +49,16 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   */
 object DistBloomBank {
 
-  /** A bank: its build width plus (pid, serialized filter) rows, always
-    * partitioned by HashPartitioner(width) with pid i in partition i (Int
-    * hashCode is identity). All probes derive pid from `width`, never from
-    * the current session config.
+  /** A bank: its build GEOMETRY (width + per-filter expected insertions +
+    * fpp — `mergeInPlace` requires identical numBits/numHashFunctions, so
+    * ALL of it must survive a resume, not just the width) plus
+    * (pid, serialized filter) rows, always partitioned by
+    * HashPartitioner(width) with pid i in partition i (Int hashCode is
+    * identity). All probes derive pid from `width`, never from the current
+    * session config.
     */
-  final case class Bank(width: Int, rdd: RDD[(Int, Array[Byte])]) {
+  final case class Bank(width: Int, expected: Long, fpp: Double,
+      rdd: RDD[(Int, Array[Byte])]) {
     /** MEMORY_AND_DISK: an evicted MEMORY_ONLY bank partition would
       * recompute through every prior round's merge lineage (or, post
       * rebuild, one seen-chain scan) — blobs are small, disk is cheap.
@@ -78,7 +82,7 @@ object DistBloomBank {
   def buildRound(df: DataFrame, canonCol: String, partitions: Int,
       expectedPerPartition: Long, fpp: Double): Bank = {
     val p = partitions; val exp = expectedPerPartition; val f = fpp
-    Bank(p, df.select(canonCol).rdd
+    Bank(p, exp, f, df.select(canonCol).rdd
       .map(r => (UrlCanon.partition(r.getString(0), p), r.getString(0)))
       .partitionBy(new HashPartitioner(p))
       .mapPartitions({ it =>
@@ -94,9 +98,11 @@ object DistBloomBank {
 
   /** OR-merge two co-partitioned banks — narrow (no shuffle). */
   def merge(a: Bank, b: Bank): Bank = {
-    require(a.width == b.width,
-      s"bank width mismatch: ${a.width} vs ${b.width} — banks are not mergeable across widths")
-    Bank(a.width, a.rdd.zipPartitions(b.rdd, preservesPartitioning = true) { (ia, ib) =>
+    require(a.width == b.width && a.expected == b.expected && a.fpp == b.fpp,
+      s"bank geometry mismatch: (${a.width},${a.expected},${a.fpp}) vs " +
+        s"(${b.width},${b.expected},${b.fpp}) — mergeInPlace needs identical filter geometry")
+    Bank(a.width, a.expected, a.fpp,
+      a.rdd.zipPartitions(b.rdd, preservesPartitioning = true) { (ia, ib) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[Int, BloomFilter]
       (ia ++ ib).foreach { case (pid, bytes) =>
         m.get(pid) match {
@@ -136,29 +142,44 @@ object DistBloomBank {
   private val saveSchema = StructType(Seq(
     StructField("pid", IntegerType, nullable = false),
     StructField("filter", BinaryType, nullable = false),
-    StructField("width", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = false),
+    StructField("expected", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("fpp", org.apache.spark.sql.types.DoubleType, nullable = false)))
 
-  /** Persist as a parquet table of (pid, filter, width) — distributed
-    * write; `width` makes the table self-describing for load().
+  /** Persist as a parquet table of (pid, filter, width, expected, fpp) —
+    * distributed write; the geometry columns make the table
+    * self-describing for load().
     */
   def save(spark: SparkSession, bank: Bank, path: String): Unit =
-    spark.createDataFrame(bank.rdd.map { case (pid, b) => Row(pid, b, bank.width) }, saveSchema)
+    spark.createDataFrame(
+      bank.rdd.map { case (pid, b) => Row(pid, b, bank.width, bank.expected, bank.fpp) },
+      saveSchema)
       .write.mode("overwrite").parquet(path)
 
-  /** Load a saved bank at ITS OWN recorded width (never the current
-    * config's: filters cannot be re-hashed, and probing them at a different
-    * modulus silently re-crawls seen URLs). A resume that changed
-    * `seenPartitions` simply keeps the old bank width until the bank is
-    * next rebuilt from the seen chain.
+  /** Load a saved bank at ITS OWN recorded geometry (never the current
+    * config's: filters cannot be re-hashed or re-sized, and probing them
+    * at a different modulus silently re-crawls seen URLs, while merging
+    * with differently-sized round filters throws in mergeInPlace). A
+    * resume that changed the config simply keeps the old geometry until
+    * the bank is next rebuilt from the seen chain. A bank saved without
+    * geometry columns (foreign/older format) returns None — the caller's
+    * exact-anti-join fallback carries correctness.
     */
   def load(spark: SparkSession, path: String): Option[Bank] = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return None
     val df = spark.read.parquet(path)
-    val widths = df.select("width").distinct().collect().map(_.getInt(0))
-    if (widths.isEmpty) return None // empty bank: nothing was ever inserted
-    require(widths.length == 1, s"corrupt bank at $path: mixed widths ${widths.mkString(",")}")
-    val w = widths(0)
-    Some(Bank(w, df.select("pid", "filter").rdd
+    val cols = df.schema.fieldNames.toSet
+    if (!Set("pid", "filter", "width", "expected", "fpp").subsetOf(cols)) {
+      System.err.println(s"[bloom] bank at $path lacks geometry columns — " +
+        "falling back to exact-only dedup for this resume")
+      return None
+    }
+    val geom = df.select("width", "expected", "fpp").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    if (geom.isEmpty) return None // empty bank: nothing was ever inserted
+    require(geom.length == 1, s"corrupt bank at $path: mixed geometry ${geom.mkString(",")}")
+    val (w, exp, f) = geom(0)
+    Some(Bank(w, exp, f, df.select("pid", "filter").rdd
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
       .partitionBy(new HashPartitioner(w))))
   }

@@ -253,7 +253,11 @@ object PageParser {
       val b = Vector.newBuilder[String]
       var page = 1
       while (page <= maxCommentPages && cm.find()) {
-        if (cm.group(1) != null) page = cm.group(1).toInt
+        if (cm.group(1) != null)
+          // clamp: a marker numeral beyond Int range must degrade to
+          // "past the cap" (stop collecting), never throw mid-parse
+          page = cm.group(1).toIntOption
+            .getOrElse(maxCommentPages + 1).max(1)
         else if (page <= maxCommentPages) b += cm.group(2)
       }
       b.result()

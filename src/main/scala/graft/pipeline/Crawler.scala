@@ -306,12 +306,13 @@ final class Crawler(
     // bloom bank fold: build this round's bank from the cached roundSeen,
     // then OR-merge into the accumulated bank — both narrow on the bank
     // side (no driver collect, no broadcast, no bank-sized shuffle).
-    // Width follows the ACCUMULATED bank (a resumed bank keeps the width it
-    // was built with — filters cannot be re-hashed); a changed
-    // config.seenPartitions is adopted at the next collapse-cycle rebuild.
-    val bankWidth = bankAcc.map(_.width).getOrElse(config.seenPartitions)
-    val roundBank = DistBloomBank.buildRound(roundSeen, "canon",
-      bankWidth, config.bloomExpectedPerPartition, config.bloomFpp).persist()
+    // Geometry (width + expected + fpp) follows the ACCUMULATED bank (a
+    // resumed bank keeps the geometry it was built with — filters cannot be
+    // re-hashed or re-sized, and mergeInPlace requires identical geometry);
+    // a changed config is adopted at the next collapse-cycle rebuild.
+    val (bw, bexp, bfpp) = bankAcc.map(b => (b.width, b.expected, b.fpp))
+      .getOrElse((config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp))
+    val roundBank = DistBloomBank.buildRound(roundSeen, "canon", bw, bexp, bfpp).persist()
     val mergedBank = bankAcc match {
       case Some(old) => DistBloomBank.merge(old, roundBank).persist()
       case None      => roundBank

@@ -106,7 +106,11 @@ class CrawlParitySpec extends SparkSpec {
     import spark.implicits._
     val dir = tempDir("graft-resume-width")
     new Crawler(spark, config.copy(maxRounds = 1), dir).run(spark.createDataset(seeds))
-    val c2 = new Crawler(spark, config.copy(seenPartitions = 5), dir) // 8 → 5
+    // change the ENTIRE bank geometry (width 8→5, expected, fpp): the
+    // resumed bank must keep its built geometry for probes AND for the
+    // round-bank merge (mergeInPlace throws on mismatched filter sizes)
+    val c2 = new Crawler(spark, config.copy(seenPartitions = 5,
+      bloomExpectedPerPartition = 50000L, bloomFpp = 0.03), dir)
     c2.run(spark.createDataset(seeds))
     val got = spark.read.parquet(s"$dir/data/crawl_log/round=0", s"$dir/data/crawl_log/round=1")
       .orderBy("seq").as[CrawlLogEntry].collect().toVector
