@@ -107,6 +107,7 @@ final case class CrawlConfig(
     saltFactor: Int = 1,           // >1 splits hot hosts across lanes (bench mode only)
     bloomExpectedPerPartition: Long = 1000000L,
     bloomFpp: Double = 0.01,
+    collapseEvery: Int = 8,       // seen-chain collapse + bank-rebuild cycle (rounds)
     persistRounds: Boolean = true) // false = bench mode: no snapshot writes
 
 /** Per-round, per-partition fetch/dedup metrics (north-rule lineage). */

@@ -159,7 +159,7 @@ final class Crawler(
   private var stateAcc: Option[DataFrame] = None
   private var lastStateCount: Long = 0L
   private var nextSeqAcc: Long = 0L
-  private val collapseEvery = 8
+  private val collapseEvery = config.collapseEvery
   private val seenP = spark.sessionState.conf.numShufflePartitions
 
   /** Total URLs scheduled (= fetched+deduped) so far in this run. */

@@ -120,6 +120,25 @@ class CrawlParitySpec extends SparkSpec {
     assert(seen == oracle.seen, "duplicate/missing URLs after width-changed resume")
   }
 
+  test("seen-chain collapse + bank rebuild every round leaves parity intact") {
+    // collapseEvery=1 drives the (otherwise 8-round) collapse cycle —
+    // including the round-3 bank REBUILD from the collapsed chain — on
+    // every round of a 3-round crawl; results must be byte-identical
+    import spark.implicits._
+    val cfgC = config.copy(maxRounds = 3, collapseEvery = 1)
+    val seedsC = Fixtures.seeds(200)
+    val oracleC = SequentialOracle.run(seedsC, cfgC)
+    val dir = tempDir("graft-collapse")
+    new Crawler(spark, cfgC, dir).run(spark.createDataset(seedsC))
+    val store = new graft.snapshot.SnapshotStore(dir)
+    val got = store.read(spark, "crawl_log").get
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    assert(got == oracleC.crawlLog.sortBy(_.seq))
+    val seen = store.read(spark, "seen").get.orderBy("seq")
+      .select("canonUrl").as[String].collect().toVector
+    assert(seen == oracleC.seen)
+  }
+
   test("three-round crawl parity (deeper frontier expansion)") {
     import spark.implicits._
     val cfg3 = config.copy(maxRounds = 3)
