@@ -172,10 +172,22 @@ final class Crawler(
       val last = resumeFrom - 1
       seenParts = store.read(spark, "seen").map(df =>
         df.select($"canonUrl".as("canon")).repartition(seenP, $"canon").persist()).toVector
-      // the saved bank is self-describing: it loads at the width it was
-      // BUILT with (a changed seenPartitions config is adopted only at the
-      // next seen-chain collapse, when the bank is rebuilt from scratch)
+      // the saved bank is self-describing: it loads at the geometry it was
+      // BUILT with (a changed config is adopted only at the next seen-chain
+      // collapse, when the bank is rebuilt from scratch)
       bankAcc = DistBloomBank.load(spark, store.bloomPath(last)).map(_.persist())
+      if (bankAcc.isEmpty && seenParts.nonEmpty) {
+        // unusable saved bank (foreign/older format) with real history: the
+        // bank MUST cover the whole seen set before the first round-bank
+        // fold installs a partial one — a partial bank's authoritative
+        // "definitely new" would bypass the exact tier for pre-resume URLs
+        // from the SECOND post-resume round on. Rebuild from the chain.
+        val rebuilt = DistBloomBank.buildRound(
+          seenParts.reduce(_.unionByName(_)), "canon", config.seenPartitions,
+          config.bloomExpectedPerPartition, config.bloomFpp).persist()
+        rebuilt.count()
+        bankAcc = Some(rebuilt)
+      }
       val st = spark.read.parquet(store.tablePath("host_state", last)).persist()
       lastStateCount = st.count()
       stateAcc = Some(st)

@@ -120,6 +120,36 @@ class CrawlParitySpec extends SparkSpec {
     assert(seen == oracle.seen, "duplicate/missing URLs after width-changed resume")
   }
 
+  test("resume from a geometry-less (old-format) bank: rebuilt from seen, no re-crawl") {
+    // an unusable saved bank must be REBUILT from the seen chain at resume:
+    // if it were left None, the first round-bank fold would install a bank
+    // covering only that round, whose authoritative 'definitely new' would
+    // re-crawl pre-resume URLs from the second post-resume round on
+    import spark.implicits._
+    val cfg3 = config.copy(maxRounds = 3)
+    val seeds3 = Fixtures.seeds(200)
+    val oracle3 = SequentialOracle.run(seeds3, cfg3)
+    val dir = tempDir("graft-resume-oldbank")
+    new Crawler(spark, cfg3.copy(maxRounds = 1), dir).run(spark.createDataset(seeds3))
+    // strip the geometry columns, simulating a pre-geometry-format bank
+    val bankPath = new graft.snapshot.SnapshotStore(dir).bloomPath(0)
+    val old = spark.read.parquet(bankPath).select("pid", "filter").collect()
+    val oldSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(bankPath).schema.fields.filter(f => Set("pid", "filter")(f.name)))
+    spark.createDataFrame(java.util.Arrays.asList(old: _*), oldSchema)
+      .write.mode("overwrite").parquet(bankPath)
+    new Crawler(spark, cfg3, dir).run(spark.createDataset(seeds3)) // rounds 1-2
+    val store = new graft.snapshot.SnapshotStore(dir)
+    val got = store.read(spark, "crawl_log").get
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    assert(got == oracle3.crawlLog.sortBy(_.seq),
+      "re-crawled or missing URLs after old-format-bank resume")
+    val seen = store.read(spark, "seen").get.orderBy("seq")
+      .select("canonUrl").as[String].collect().toVector
+    assert(seen == oracle3.seen)
+    assert(seen.distinct.size == seen.size, "duplicate seen rows = re-crawl")
+  }
+
   test("seen-chain collapse + bank rebuild every round leaves parity intact") {
     // collapseEvery=1 drives the (otherwise 8-round) collapse cycle —
     // including the round-3 bank REBUILD from the collapsed chain — on

@@ -91,10 +91,25 @@ class StreamingSpec extends SparkSpec {
         Fixtures.bounded(Fixtures.mix(h, 1L), 60), Fixtures.mix(h, 2L)) // small post space → many dups
       (UrlCanon.canonicalize(url), url, i.toLong, 0)
     }
+    // TWO micro-batches with controlled arrival order (one file each,
+    // mtime-ordered, maxFilesPerTrigger=1): batch 2 re-delivers keys first
+    // seen in batch 1, so the cross-batch GroupState suppression branch
+    // genuinely executes
+    val batches = Seq(cands.take(150), cands.drop(150))
     val dir = tempDir("graft-stream-dedup") + "/data"
-    spark.createDataset(cands).toDF("canon", "url", "ord0", "ord1").write.parquet(dir)
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val sub = s"$dir/b$i"
+      spark.createDataset(b).toDF("canon", "url", "ord0", "ord1")
+        .coalesce(1).write.parquet(sub)
+      val f = new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(f.length == 1)
+      val dst = new java.io.File(dir, f"part-$i%05d.parquet")
+      java.nio.file.Files.move(f.head.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val schema = spark.read.parquet(s"$dir/part-00000.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part-*.parquet")
       .as[(String, String, Long, Int)]
     val q = graft.streaming.Streaming.seenDedupStream(stream)
       .toDF("canon", "url", "ord0", "ord1")
@@ -102,12 +117,22 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("dedup").as[(String, String, Long, Int)]
-      .collect().map(r => r._1 -> (r._3, r._4)).toMap
-    // batch replica: min (ord0, ord1) per canon, exactly once per canon
-    val want = cands.groupBy(_._1).view
-      .mapValues(rs => rs.map(r => (r._3, r._4)).min).toMap
-    assert(got == want)
-    assert(cands.size > want.size, "test vacuous: no duplicate candidates")
+      .collect().map(r => (r._1, r._3, r._4)).sorted.toVector
+    // replica of arrival-order first-wins: per batch in order, emit each
+    // unseen key once with its min (ord0, ord1) WITHIN that batch
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = batches.flatMap { b =>
+      b.groupBy(_._1).toSeq.collect {
+        case (canon, rs) if seen.add(canon) =>
+          val m = rs.map(r => (r._3, r._4)).min
+          (canon, m._1, m._2)
+      }
+    }.sorted.toVector
+    assert(got == want) // exact multiset: a double emission would differ
+    assert(got.size == cands.map(_._1).distinct.size, "exactly once per key")
+    val batch1Keys = batches.head.map(_._1).toSet
+    assert(batches(1).exists(r => batch1Keys(r._1)),
+      "test vacuous: batch 2 must re-deliver batch-1 keys")
   }
 
   test("urgent sliding-window counts emit only above the threshold") {
