@@ -415,6 +415,17 @@ object SparkEntry {
     }),
 
     // ---- corpus preparation (PII / sampling / packing / IVF) -----------------
+    "q46_ngram_jaccard_engine" -> ((s, d) => {
+      // the ENGINE-DEFAULT inverted-index path with the maxDf hub-shingle
+      // cap ON (what a 100 TB dedup run uses — q29 is the capless exact
+      // contract); the oracle mirrors the df cap in SQL, q36-style.
+      // maxDf=35 so the cap genuinely fires at sf0.01 corpus sizes (max 2-gram df there is 46).
+      graft.ops.Dedup.ngramJaccardPairs(
+        rt(s, d, "documents").filter(graft.ops.TextOps.tokenCountCol(col("text")) >= 2),
+        shingleW = 2, threshold = 0.05, maxDf = 35)
+        .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
     "q42_pii_redact" -> ((s, d) => {
       // word-salad docs carry no PII — augment with deterministic
       // PII-shaped tails (pure SQL-expressible) so the ladder fires
@@ -758,6 +769,31 @@ object SparkEntry {
          FROM guarded a JOIN guarded b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          ORDER BY band, a, b""",
+    // engine-default n-gram Jaccard: identical to q29's construction but
+    // with the maxDf=35 hub-shingle cap mirrored (kept CTE). Set sizes
+    // stay FULL (the engine computes setSize before the cap) — only the
+    // shared-shingle counts run over the capped index.
+    "q46_ngram_jaccard_engine" ->
+      """WITH docs2 AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE (length(text) - length(replace(text, ' ', ''))) + 1 >= 2),
+         sets AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(0, len(toks) - 1),
+               i -> array_to_string(toks[i + 1:i + 2], ' '))) AS sh
+           FROM docs2),
+         inv AS (
+           SELECT doc_id, len(sh) AS setSize, unnest(sh) AS sh FROM sets),
+         kept AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 35),
+         filtered AS (SELECT i.* FROM inv i JOIN kept USING (sh)),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b, a.setSize AS sa, b.setSize AS sb,
+                  count(*) AS inter
+           FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT a, b, round(inter * 1.0 / (sa + sb - inter), 9) AS jaccard
+         FROM pairs WHERE inter * 1.0 / (sa + sb - inter) >= 0.05
+         ORDER BY a, b""",
     "q42_pii_redact" ->
       """SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(
