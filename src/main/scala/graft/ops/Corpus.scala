@@ -76,12 +76,21 @@ object Corpus {
       tokensCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // null token counts bin as 0 tokens (a doc with unknown length must not
+    // null-poison its partition's total)
+    val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
+    // localCheckpoint (eager): the offsets below are computed from THIS
+    // materialization, so partition identity must be pinned — a lazy
+    // persist could be evicted and recomputed, and any change in the range
+    // sampler's view of the input would silently misassign seq_ids. A lost
+    // checkpoint block fails the job instead (on a cluster, checkpoint()
+    // to reliable storage is the durable variant of the same contract).
     val parted = docs
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val totals = parted.groupBy($"__pid")
-      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .agg(sum(toks).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsetOf = totals.map(_._1)
       .zip(totals.scanLeft(0L) { case (acc, (_, t)) => acc + t }.dropRight(1)).toMap
@@ -90,12 +99,9 @@ object Corpus {
     // parallelism = partition count, never a global sort
     val w = Window.partitionBy($"__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // parted stays cached for the result's lineage (offsets were computed
-    // from exactly this materialization); the ContextCleaner drops it once
-    // the result is no longer referenced
     parted
       .withColumn("__prefix",
-        offU($"__pid") + coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+        offU($"__pid") + coalesce(sum(toks).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"__prefix div $maxTokens"))
       .drop("__pid", "__prefix")
   }

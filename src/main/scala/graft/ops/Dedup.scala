@@ -68,7 +68,8 @@ object Dedup {
     * Returns (band, a, b).
     */
   def lshCandidatePairs(sigs: DataFrame, k: Int = 8, bands: Int = 4,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -86,9 +87,12 @@ object Dedup {
       .repartition(p, col("band"), col("key"))
     // degenerate-bucket guard: a single hot (band, key) — e.g. empty or
     // boilerplate docs — would make the self-join below O(bucket²); skew
-    // real corpora always have. Cap is recall-vs-cost rails like maxDf.
-    val small = keyed.groupBy(col("band"), col("key")).count()
-      .filter(col("count") <= maxBucket).select(col("band"), col("key"))
+    // real corpora always have. Cap is recall-vs-cost rails like maxDf;
+    // drops are observable through `obs` (Guard.observeDrops piggybacks on
+    // this aggregation).
+    val counts = Guard.observeDrops(
+      keyed.groupBy(col("band"), col("key")).count(), obs, maxBucket)
+    val small = counts.filter(col("count") <= maxBucket).select(col("band"), col("key"))
     val guarded = keyed.join(small, Seq("band", "key"))
     val a = guarded.as("a"); val b = guarded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -115,8 +119,9 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: candidates ∧ jaccard ≥ threshold. */
   def minhashDupPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val pairs = lshCandidatePairs(minhashSignatures(docs, k), k, bands)
+      threshold: Double = 0.7,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
+    val pairs = lshCandidatePairs(minhashSignatures(docs, k), k, bands, obs = obs)
     verifyJaccard(docs, pairs).filter(col("jaccard") >= threshold)
   }
 
@@ -129,7 +134,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, shingleW: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 1000,
-      joinParallelism: Int = 0): DataFrame = {
+      joinParallelism: Int = 0,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
     val spark = docs.sparkSession
     val p = if (joinParallelism > 0) joinParallelism
       else spark.sessionState.conf.numShufflePartitions
@@ -139,10 +145,12 @@ object Dedup {
     val inv = sets.select(col("doc_id"), col("setSize"), explode(col("sh")).as("sh"))
     // inverted-index guard: drop degenerate hub shingles. Skipped entirely
     // when capless (one less shuffle) — the exact-oracle contract query
-    // runs capless.
+    // runs capless (and `obs`, if any, reports zeros: nothing can drop).
     val filtered =
       if (maxDf == Int.MaxValue) inv
-      else inv.join(inv.groupBy("sh").count().filter(col("count") <= maxDf).select("sh"),
+      else inv.join(
+        Guard.observeDrops(inv.groupBy("sh").count(), obs, maxDf)
+          .filter(col("count") <= maxDf).select("sh"),
         Seq("sh"))
     // EXPLICIT fixed-width repartition on the join key. The join inputs are
     // tiny (one row per doc-shingle) but the join OUTPUT is quadratic in
@@ -229,13 +237,26 @@ object Dedup {
     * millions of near-empty docs sharing a block value) from going
     * quadratic — buckets above the cap are dropped from candidate
     * generation (recall guard rails, like maxDf for shingles).
+    *
+    * The block keyspace is FIXED at 2^width per block (width = bits /
+    * (maxHamming+1)) — unlike LSH planes it cannot grow with the corpus,
+    * so past ~maxBucket·2^width docs the AVERAGE block bucket exceeds the
+    * cap and recall collapses. Pass `corpusSize` (a known or estimated doc
+    * count) to fail loudly at that ceiling instead of returning an
+    * empty-ish answer (at maxHamming=3/64 bits/maxBucket=10k the ceiling
+    * is ~650M docs; beyond it, shard the corpus or raise maxBucket);
+    * `obs` reports the realized drop fraction of any run.
     */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
       maxBucket: Int = 10000,
-      signatures: DataFrame => DataFrame = simhashFnvSigs(_)): DataFrame = {
+      signatures: DataFrame => DataFrame = simhashFnvSigs(_),
+      corpusSize: Long = -1L,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
     val nBlocks = maxHamming + 1
     require(nBlocks <= bits, s"maxHamming $maxHamming needs $nBlocks blocks > $bits bits")
     val width = bits / nBlocks // first (nBlocks-1) blocks `width` bits, last takes the rest
+    Guard.warnIfUndersized("simhashDupPairs", corpusSize,
+      math.pow(2.0, width), maxBucket)
     val sigs = signatures(docs)
     val blocks = (0 until nBlocks).map { q =>
       val lo = q * width
@@ -249,7 +270,8 @@ object Dedup {
     val keyed = sigs.select(col("doc_id"), col("sig"), explode(array(blocks: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.q").as("q"), col("bk.key").as("key"))
       .repartition(p, col("q"), col("key"))
-    val small = keyed.groupBy(col("q"), col("key")).count()
+    val small = Guard.observeDrops(keyed.groupBy(col("q"), col("key")).count(),
+        obs, maxBucket)
       .filter(col("count") <= maxBucket).select(col("q"), col("key"))
     val guarded = keyed.join(small, Seq("q", "key"))
     val a = guarded.select(col("q"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
@@ -282,15 +304,23 @@ object Dedup {
     * size a bucket to ~10³–10⁴ vectors — e.g. 10^10 vectors want ≥ 21
     * planes, not 8), and `maxBucket` drops degenerate buckets (all-zero or
     * boilerplate embeddings collapse onto one bucket) before the
-    * within-bucket join can go quadratic.
+    * within-bucket join can go quadratic. `embeddingDupPairsAuto` derives
+    * `planes` from the corpus count; `corpusSize` (when known) makes a
+    * hand-set geometry fail loudly instead of silently losing recall, and
+    * `obs` reports the realized drop fraction.
     */
   def embeddingDupPairs(embeddings: DataFrame, dim: Int, planes: Int = 8,
-      threshold: Double = 0.95, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+      threshold: Double = 0.95, seed: Long = 42L, maxBucket: Int = 10000,
+      corpusSize: Long = -1L,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
+    Guard.warnIfUndersized("embeddingDupPairs", corpusSize,
+      math.pow(2.0, planes), maxBucket)
     val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = embeddings.withColumn("bucket",
         Similarity.signBucketCol(col("embedding"), dim, planes, seed))
       .repartition(p, col("bucket"))
-    val small = bucketed.groupBy(col("bucket")).count()
+    val small = Guard.observeDrops(bucketed.groupBy(col("bucket")).count(),
+        obs, maxBucket)
       .filter(col("count") <= maxBucket).select("bucket")
     val guarded = bucketed.join(small, Seq("bucket"))
     val a = guarded.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
@@ -299,5 +329,21 @@ object Dedup {
       .withColumn("cosine", cosineCol(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
+  }
+
+  /** Corpus-aware embedding near-dup: counts the corpus once (a cheap
+    * columnar count at any scale) and sizes `planes` so the expected
+    * bucket stays well under `maxBucket` (Guard.autoPlanes) — the variant
+    * to use when the corpus size is not known a priori.
+    */
+  def embeddingDupPairsAuto(embeddings: DataFrame, dim: Int,
+      threshold: Double = 0.95, seed: Long = 42L, maxBucket: Int = 10000,
+      targetBucket: Int = 0,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
+    val n = embeddings.count()
+    val target = if (targetBucket > 0) targetBucket else math.max(1, maxBucket / 8)
+    val planes = Guard.autoPlanes(n, target)
+    embeddingDupPairs(embeddings, dim, planes, threshold, seed, maxBucket,
+      corpusSize = n, obs = obs)
   }
 }

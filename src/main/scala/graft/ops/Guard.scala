@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Visibility and sizing for the recall guards in the dedup/ANN family.
+  *
+  * Every bucketed near-dup operator here rails its quadratic candidate
+  * expansion with a cap (`maxBucket` on LSH/SimHash/embedding buckets,
+  * `maxDf` on inverted-index shingles). The caps are what make the plans
+  * survive skew at 100 TB — but a cap that silently drops the AVERAGE
+  * bucket (knobs undersized for the corpus) collapses recall to ~0 while
+  * still returning a plausible-looking result. This module makes that
+  * failure mode (a) observable — a `GuardObservation` side-channel reports
+  * the dropped row/bucket fraction of any run, piggybacked on the guard's
+  * own bucket-count aggregation via `Dataset.observe` (zero extra jobs) —
+  * and (b) avoidable — `autoPlanes` derives LSH geometry from the corpus
+  * size, and `warnIfUndersized` logs loudly (and can assert) when a fixed
+  * geometry cannot hold the corpus under its cap.
+  */
+object Guard {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Guard")
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Side-channel for one guarded operator invocation. Pass a fresh
+    * instance per call (a Spark Observation binds to one query); read the
+    * metrics after the first action on the operator's result.
+    */
+  final class GuardObservation(val label: String) {
+    private[ops] val obs = Observation(s"graft_guard_${label}_${ids.incrementAndGet()}")
+    @volatile private[ops] var attached = false
+    // the observed bucket-count aggregation + its cap, kept for the
+    // pruned-plan fallback below
+    @volatile private[ops] var source: Option[(DataFrame, Int, String)] = None
+    @volatile private var fallbackCache: Option[Map[String, Long]] = None
+
+    private val zeros = Map("total_rows" -> 0L, "dropped_rows" -> 0L,
+      "buckets" -> 0L, "dropped_buckets" -> 0L)
+
+    /** Raw metrics row (blocks until the observed query's first action
+      * completes). All zeros when the operator ran capless (no guard
+      * aggregation in the plan — nothing can drop).
+      *
+      * When the guard drops EVERY bucket the operator's result is empty and
+      * AQE's empty-relation propagation prunes the observed subtree out of
+      * the executed plan — the observation then completes with an empty
+      * row. That is exactly the catastrophic case this metric exists for,
+      * so it falls back to re-running the (tiny) bucket-count aggregation
+      * as its own job (deterministic ops → identical counts; cached after
+      * the first read).
+      */
+    def metrics: Map[String, Long] =
+      if (!attached) zeros
+      else {
+        val m = obs.get
+        if (m.nonEmpty)
+          m.map { case (k, v) => k -> (if (v == null) 0L else v.asInstanceOf[Long]) }
+        else fallbackCache.getOrElse {
+          val computed = source match {
+            case Some((counts, cap, countCol)) =>
+              val r = counts.agg(
+                coalesce(sum(col(countCol)), lit(0L)).as("total_rows"),
+                coalesce(sum(when(col(countCol) > cap, col(countCol)).otherwise(0L)), lit(0L))
+                  .as("dropped_rows"),
+                count(lit(1)).as("buckets"),
+                coalesce(sum(when(col(countCol) > cap, 1L).otherwise(0L)), lit(0L))
+                  .as("dropped_buckets")).head()
+              Map("total_rows" -> r.getLong(0), "dropped_rows" -> r.getLong(1),
+                "buckets" -> r.getLong(2), "dropped_buckets" -> r.getLong(3))
+            case None => zeros
+          }
+          fallbackCache = Some(computed)
+          computed
+        }
+      }
+
+    def totalRows: Long = metrics("total_rows")
+    def droppedRows: Long = metrics("dropped_rows")
+    def buckets: Long = metrics("buckets")
+    def droppedBuckets: Long = metrics("dropped_buckets")
+
+    /** Fraction of candidate-generation rows lost to the cap — the recall
+      * exposure of this run (0.0 = the guard never fired).
+      */
+    def droppedFraction: Double = {
+      val m = metrics
+      val t = m("total_rows")
+      if (t == 0L) 0.0 else m("dropped_rows").toDouble / t
+    }
+
+    /** Log (WARN) when the run dropped more than `warnAt` of its rows;
+      * returns the fraction so callers can thread it into their own
+      * accounting. The message names the knob to grow.
+      */
+    def logIfLossy(warnAt: Double = 0.0): Double = {
+      val f = droppedFraction
+      if (f > warnAt)
+        log.warn(f"[$label] recall guard dropped $f%.1f%% of candidate rows " +
+          f"(${droppedRows} of ${totalRows} rows in ${droppedBuckets} of " +
+          f"${buckets} buckets) — grow the bucket keyspace (planes/blocks) " +
+          f"or the cap for this corpus size")
+      f
+    }
+  }
+
+  def observation(label: String): GuardObservation = new GuardObservation(label)
+
+  /** Attach the drop metrics to the guard's bucket-count aggregation
+    * (the `groupBy(bucket).count()` every guarded op already computes).
+    * One CollectMetrics node on an existing tiny intermediate — no extra
+    * job, no extra shuffle.
+    */
+  private[ops] def observeDrops(bucketCounts: DataFrame,
+      obs: Option[GuardObservation], cap: Int,
+      countCol: String = "count"): DataFrame = obs match {
+    case Some(o) =>
+      o.attached = true
+      o.source = Some((bucketCounts, cap, countCol))
+      bucketCounts.observe(o.obs,
+        coalesce(sum(col(countCol)), lit(0L)).as("total_rows"),
+        coalesce(sum(when(col(countCol) > cap, col(countCol)).otherwise(0L)), lit(0L))
+          .as("dropped_rows"),
+        count(lit(1)).as("buckets"),
+        coalesce(sum(when(col(countCol) > cap, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_buckets"))
+    case None => bucketCounts
+  }
+
+  /** LSH plane count sized to the corpus: smallest p with expected bucket
+    * occupancy n/2^p ≤ targetBucket. Keep targetBucket well under the
+    * operator's `maxBucket` (default 1/8th of the usual 10k cap) so skewed
+    * buckets still clear the guard; 10^10 vectors at the default target →
+    * 23 planes.
+    */
+  def autoPlanes(corpusSize: Long, targetBucket: Int = 1250,
+      minPlanes: Int = 4, maxPlanes: Int = 30): Int = {
+    require(corpusSize >= 0, s"corpusSize $corpusSize")
+    require(targetBucket > 0, s"targetBucket $targetBucket")
+    val need = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, need))
+  }
+
+  /** Loud check that a fixed bucket keyspace can hold `corpusSize` docs
+    * under `maxBucket`: if the AVERAGE bucket (n / keyspace) exceeds the
+    * cap, candidate generation is guaranteed to dry up (recall ≈ 0); if it
+    * exceeds cap/`headroom`, real-corpus skew makes collapse likely. WARNs
+    * at the likely threshold, throws at the guaranteed one (a run that can
+    * only return an empty-ish answer should fail, not mislead).
+    */
+  def warnIfUndersized(label: String, corpusSize: Long, keyspace: Double,
+      maxBucket: Int, headroom: Int = 8): Unit = {
+    if (corpusSize <= 0) return
+    val avgBucket = corpusSize.toDouble / keyspace
+    if (avgBucket > maxBucket)
+      throw new IllegalArgumentException(
+        f"[$label] geometry undersized for corpus: expected average bucket " +
+          f"$avgBucket%.0f > maxBucket $maxBucket (corpus $corpusSize over " +
+          f"keyspace $keyspace%.0f) — EVERY typical bucket would be dropped " +
+          f"and recall would collapse to ~0. Grow the keyspace " +
+          f"(planes / hamming blocks) or shard the corpus.")
+    else if (avgBucket > maxBucket.toDouble / headroom)
+      log.warn(f"[$label] geometry marginal for corpus: expected average " +
+        f"bucket $avgBucket%.0f is within ${headroom}x of maxBucket " +
+        f"$maxBucket — skewed buckets will be dropped; consider growing " +
+        f"the keyspace (corpus $corpusSize over keyspace $keyspace%.0f)")
+  }
+}

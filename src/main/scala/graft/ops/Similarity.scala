@@ -199,15 +199,22 @@ object Similarity {
     * returns (a, b, cosine) for each vector's nearest `k` bucket-mates.
     */
   def bucketedNeighbors(embeddings: DataFrame, dim: Int, k: Int = 5,
-      nPlanes: Int = 8, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+      nPlanes: Int = 8, seed: Long = 42L, maxBucket: Int = 10000,
+      corpusSize: Long = -1L,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Guard.warnIfUndersized("bucketedNeighbors", corpusSize,
+      math.pow(2.0, nPlanes), maxBucket)
     val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = embeddings.withColumn("bucket",
         signBucketCol(col("embedding"), dim, nPlanes, seed))
       .repartition(p, col("bucket"))
     // degenerate-bucket guard (see Dedup.embeddingDupPairs): a hot bucket
-    // would make the self-join quadratic; nPlanes is the primary scale knob
-    val small = bucketed.groupBy(col("bucket")).count()
+    // would make the self-join quadratic; nPlanes is the primary scale
+    // knob (see bucketedNeighborsAuto), and `obs` reports what the cap
+    // actually dropped
+    val small = Guard.observeDrops(bucketed.groupBy(col("bucket")).count(),
+        obs, maxBucket)
       .filter(col("count") <= maxBucket).select("bucket")
     val guarded = bucketed.join(small, Seq("bucket"))
     val a = guarded.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
@@ -221,5 +228,19 @@ object Similarity {
     val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("a", "b", "cosine")
+  }
+
+  /** Corpus-aware batch ANN: counts the corpus once and sizes `nPlanes`
+    * via Guard.autoPlanes so the expected bucket stays well under
+    * `maxBucket` (see Dedup.embeddingDupPairsAuto).
+    */
+  def bucketedNeighborsAuto(embeddings: DataFrame, dim: Int, k: Int = 5,
+      seed: Long = 42L, maxBucket: Int = 10000, targetBucket: Int = 0,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
+    val n = embeddings.count()
+    val target = if (targetBucket > 0) targetBucket else math.max(1, maxBucket / 8)
+    val nPlanes = Guard.autoPlanes(n, target)
+    bucketedNeighbors(embeddings, dim, k, nPlanes, seed, maxBucket,
+      corpusSize = n, obs = obs)
   }
 }

@@ -206,6 +206,17 @@ class OpsSpec extends SparkSpec {
       .collect().sortBy(_._1).toVector
     assert(got13 == want, "packing must not depend on input partitioning")
     assert(want.map(_._3).distinct.size > 1, "test vacuous: everything in one bin")
+    // null token counts bin as 0 tokens (must not null-poison a partition)
+    val withNulls = base.withColumn("n_tokens",
+      when($"doc_id" % 7 === 0, lit(null)).otherwise($"n_tokens"))
+    val gotN = Corpus.packSequences(withNulls, 512L, "doc_id", "n_tokens")
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().sortBy(_._1).toVector
+    var prefixN = 0L
+    val wantN = local.map { case (id, t) =>
+      val eff = if (id % 7 == 0) 0L else t
+      val bin = prefixN / 512L; prefixN += eff; (id, bin)
+    }
+    assert(gotN == wantN)
   }
 
   test("IVF ANN: cell assignment pure-function parity; probe equals in-cell brute force") {
@@ -254,5 +265,98 @@ class OpsSpec extends SparkSpec {
     val feats2 = Multimodal.extractFeatures(spark, media, partitions = 2)
     assert(feats2.orderBy("media_id", "doc_id").collect().toSeq ==
       feats.orderBy("media_id", "doc_id").collect().toSeq)
+  }
+
+  test("guard observation: drop metrics fire on an overflow corpus, zero on a safe one") {
+    // same skew fixture as the skew-guard test: every row lands in ONE
+    // bucket everywhere, so an undersized cap drops 100% of candidate rows
+    val skewed = spark.range(1000)
+      .select($"id".as("doc_id"), lit("the same boilerplate text again").as("text"))
+    val simObs = Guard.observation("simhash_overflow")
+    assert(Dedup.simhashDupPairs(skewed, maxHamming = 3, maxBucket = 100,
+      obs = Some(simObs)).count() == 0)
+    assert(simObs.droppedFraction >= 0.99, s"fraction=${simObs.droppedFraction}")
+    assert(simObs.droppedRows > 0 && simObs.droppedBuckets > 0)
+
+    val lshObs = Guard.observation("lsh_overflow")
+    assert(Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(skewed, k = 8, shingleW = 3), k = 8, bands = 4,
+      maxBucket = 100, obs = Some(lshObs)).count() == 0)
+    assert(lshObs.droppedFraction >= 0.99)
+
+    val skewedEmb = spark.range(1000).select($"id".as("vec_id"),
+      array((0 until 64).map(i => lit(math.sin(i * 0.1).toFloat)): _*).as("embedding"))
+    val embObs = Guard.observation("emb_overflow")
+    assert(Dedup.embeddingDupPairs(skewedEmb, dim = 64, maxBucket = 100,
+      obs = Some(embObs)).count() == 0)
+    assert(embObs.droppedFraction >= 0.99)
+    val bnObs = Guard.observation("bn_overflow")
+    assert(Similarity.bucketedNeighbors(skewedEmb, dim = 64, maxBucket = 100,
+      obs = Some(bnObs)).count() == 0)
+    assert(bnObs.droppedFraction >= 0.99)
+
+    // hub-shingle cap: 40 real docs, maxDf=1 drops every shared shingle
+    val sample = docs.limit(40).select($"doc_id", $"text")
+    val dfObs = Guard.observation("ngram_hub")
+    Dedup.ngramJaccardPairs(sample, shingleW = 2, threshold = 0.2, maxDf = 1,
+      obs = Some(dfObs)).count()
+    assert(dfObs.droppedRows > 0 && dfObs.droppedFraction > 0.0)
+
+    // healthy run: guard present but never fires → metrics all zero drops
+    val okObs = Guard.observation("simhash_ok")
+    Dedup.simhashDupPairs(docs.limit(30).select($"doc_id", $"text"),
+      maxHamming = 0, obs = Some(okObs)).count()
+    assert(okObs.droppedFraction == 0.0 && okObs.droppedRows == 0L)
+    assert(okObs.totalRows > 0)
+
+    // capless run: no guard in the plan → observation reports zeros
+    val capless = Guard.observation("ngram_capless")
+    Dedup.ngramJaccardPairs(sample, shingleW = 2, threshold = 0.5,
+      maxDf = Int.MaxValue, obs = Some(capless)).count()
+    assert(capless.totalRows == 0L && capless.droppedFraction == 0.0)
+  }
+
+  test("undersized geometry fails loudly; auto-sized planes keep recall") {
+    // simhash block keyspace is fixed (2^16 at maxHamming=3): a 10^10-doc
+    // corpus guarantees the average bucket exceeds the cap → hard error,
+    // not a silent empty result
+    val sample = docs.limit(10).select($"doc_id", $"text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairs(sample, maxHamming = 3, maxBucket = 10000,
+        corpusSize = 10000000000L)
+    }
+    assert(e.getMessage.contains("recall would collapse"))
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingDupPairs(emb, dim = 64, planes = 2, corpusSize = 100000L)
+    }
+
+    // autoPlanes sizing: 10^10 vectors at the default target → 23 planes
+    assert(Guard.autoPlanes(10000000000L) == 23)
+    assert(Guard.autoPlanes(0L) == 4) // clamped at the floor
+    assert(Guard.autoPlanes(2000L, targetBucket = 100) == 5)
+
+    // recall: 400 spread vectors + 50 planted exact copies. Hand-undersized
+    // geometry (2 buckets, cap 150) drops everything; the auto variant
+    // derives enough planes to clear the cap and finds every planted pair.
+    val base = spark.range(400).select($"id".as("vec_id"),
+      array((0 until 64).map(i =>
+        sin($"id" * lit(0.7) + lit(i * 1.3)).cast("float")): _*).as("embedding"))
+      .cache()
+    val planted = base.filter($"vec_id" < 50)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val all = base.union(planted).cache()
+    val lossy = Guard.observation("manual_undersized")
+    assert(Dedup.embeddingDupPairs(all, dim = 64, planes = 1, maxBucket = 150,
+      obs = Some(lossy)).count() == 0)
+    assert(lossy.droppedFraction >= 0.99)
+    val auto = Guard.observation("auto_sized")
+    val got = Dedup.embeddingDupPairsAuto(all, dim = 64, threshold = 0.999999,
+      maxBucket = 150, obs = Some(auto))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0L until 50L).map(i => (i, i + 100000)).toSet
+    assert(wanted.subsetOf(got), s"missing ${wanted -- got}")
+    assert(auto.droppedFraction == 0.0, s"auto still lossy: ${auto.droppedFraction}")
+    assert(Similarity.bucketedNeighborsAuto(all, dim = 64, k = 1, maxBucket = 150)
+      .count() > 0)
   }
 }
