@@ -96,10 +96,10 @@ object SparkEntry {
       // limit() takes an Int and TakeOrderedAndProject materializes k rows
       // on the driver — fine for contract-scale deciles, meaningless at
       // 10^10 rows (k.toInt would overflow and no driver holds 10^9 rows).
-      // At that scale the decile is a filter against an approxQuantile
-      // threshold instead; fail loudly rather than silently truncate.
+      // At that scale use ops.Quantiles.topFraction (q47): approxQuantile
+      // threshold + pushed-down filter; fail loudly rather than truncate.
       require(k <= Int.MaxValue,
-        s"decile k=$k exceeds Int range — use approxQuantile threshold + filter at this scale")
+        s"decile k=$k exceeds Int range — use ops.Quantiles.topFraction at this scale")
       o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(k.toInt)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
@@ -464,6 +464,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("seq_id"))
         .orderBy(col("doc_id"))
     }),
+    "q47_decile_threshold" -> ((s, d) => {
+      // W1's AT-SCALE path (q07 is the driver-merge top-k contract): the
+      // decile as an approxQuantile threshold + pushed-down filter —
+      // tie-inclusive, no TakeOrdered of n/10 rows, no global sort
+      // (ops/Quantiles.scala). relativeError=0 makes the threshold the
+      // exact k-th largest element, so the oracle is the rank()-based
+      // tie-inclusive top-10% in SQL.
+      graft.ops.Quantiles.topFraction(rt(s, d, "orders"), "o_totalprice",
+          0.1, relativeError = 0.0)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   /** Once-per-JVM ANN index build (deterministic content — rebuild in a
@@ -539,6 +551,18 @@ object SparkEntry {
            FROM orders)
          SELECT o_orderkey, round(o_totalprice, 2) AS price
          FROM ranked WHERE rn <= greatest(1, n // 10) ORDER BY o_orderkey""",
+    // tie-inclusive top-10% (rank() keeps boundary ties) — the semantics of
+    // the approxQuantile-threshold engine path; ceil(n·0.1) mirrors
+    // Quantiles.topFraction's k
+    "q47_decile_threshold" ->
+      """WITH ranked AS (
+           SELECT o_orderkey, o_totalprice,
+                  rank() OVER (ORDER BY o_totalprice DESC) AS r,
+                  count(*) OVER () AS n
+           FROM orders)
+         SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM ranked WHERE r <= greatest(1, CAST(ceil(n * 0.1) AS BIGINT))
+         ORDER BY o_orderkey""",
     "q08_weekly_order_trend" ->
       """SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
                 count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price

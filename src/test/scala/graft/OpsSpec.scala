@@ -359,4 +359,32 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.bucketedNeighborsAuto(all, dim = 64, k = 1, maxBucket = 150)
       .count() > 0)
   }
+
+  test("quantile threshold: topFraction equals the tie-inclusive exact top-k") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice").cache()
+    val local = orders.as[(Long, Double)].collect()
+    val n = local.length
+    for (f <- Seq(0.1, 0.25, 0.5, 0.013)) {
+      val k = math.max(1, math.ceil(n * f).toInt)
+      val thr = local.map(_._2).sorted(Ordering[Double].reverse)(k - 1)
+      val want = local.filter(_._2 >= thr).map(_._1).toSet
+      val got = Quantiles.topFraction(orders, "o_totalprice", f, relativeError = 0.0)
+        .select("o_orderkey").as[Long].collect().toSet
+      assert(got == want, s"f=$f: ${got.size} vs ${want.size}")
+    }
+    // approximate mode: threshold within relativeError·n ranks of the
+    // boundary → size bounded accordingly, and still a pure filter result
+    val approx = Quantiles.topFraction(orders, "o_totalprice", 0.1,
+      relativeError = 0.01).select("o_orderkey").as[Long].collect().toSet
+    val k = math.ceil(n * 0.1).toInt
+    assert(approx.size >= k - math.ceil(n * 0.01).toInt - 1)
+    assert(approx.size <= k + math.ceil(n * 0.01).toInt + 1)
+    // ties kept: duplicate every price, top-10% must include both copies
+    val doubled = orders.union(orders.select($"o_orderkey" + 1000000, $"o_totalprice"))
+    val gotD = Quantiles.topFraction(doubled, "o_totalprice", 0.1, relativeError = 0.0)
+      .select("o_orderkey").as[Long].collect().toSet
+    gotD.filter(_ < 1000000).foreach(id =>
+      assert(gotD.contains(id + 1000000), s"tie pair of $id dropped"))
+  }
 }

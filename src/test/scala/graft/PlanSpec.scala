@@ -53,6 +53,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q47 decile threshold: a pushed filter, no TakeOrdered of n/10 rows, no sort") {
+    // sf0.01: sf0.001 orders may be cached by other suites (InMemoryRelation
+    // would hide the parquet pushdown)
+    val big = "/root/testdata/sf0.01"
+    val orders = spark.read.parquet(s"$big/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice")
+    val plan = executed(
+      ops.Quantiles.topFraction(orders, "o_totalprice", 0.1, relativeError = 0.001))
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_totalprice"), plan) // pushed to the scan
+  }
+
   test("q14 page-3 slice: TakeOrdered feeds the window (no full-table sort)") {
     val plan = executed(SparkEntry.queries("q14_orders_page3")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
