@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *     (:249-287).
   *
   * The lexicon is injectable (the reference loads
-  * lexicon/{positive,negative}.txt); the default below covers the synthetic
-  * fixture vocabulary. O(|lexicon|·|text|) scan mirrors the reference; at
-  * corpus scale the scorer runs once per document inside a single
-  * projection, with the lexicon broadcast via closure capture.
+  * lexicon/{positive,negative}.txt). The reference's O(|lexicon|·|text|)
+  * scan is replaced by a one-pass Aho-Corasick automaton with identical
+  * non-overlapping counts (see AhoCorasick.scala; equality with the naive
+  * scan is a pinned ScalaCheck property). At corpus scale the scorer runs
+  * once per document inside a single projection, the automaton built once
+  * per executor JVM.
   */
 object Sentiment {
 
@@ -50,14 +52,36 @@ object Sentiment {
     text.toLowerCase.replaceAll("\\s+", " ").trim
   }
 
-  private def hits(processed: String, lexicon: Set[String]): Int =
+  /** The reference's literal scan shape — |lexicon| substring scans
+    * (sentiment.py:94-130). Kept as the semantic pin for the automaton
+    * (LexiconSpec property asserts equality); the scoring path below runs
+    * the one-pass Aho-Corasick instead (≈|lexicon|× fewer scans per doc —
+    * at 100 TB the analysis tier is dominated by this scorer).
+    */
+  private[graft] def naiveHits(processed: String, lexicon: Set[String]): Int =
     lexicon.iterator.map(w => Relevance.countOccurrences(processed, w)).sum
+
+  // one automaton per (pos, neg) lexicon pair; the default pair is built
+  // once per JVM. Keys are the Set instances callers pass (element hashes
+  // are cached by String, so the map lookup is cheap per doc).
+  private val acCache =
+    scala.collection.concurrent.TrieMap.empty[(Set[String], Set[String]), AhoCorasick]
+  private def acFor(pos: Set[String], neg: Set[String]): AhoCorasick =
+    acCache.getOrElseUpdate((pos, neg), AhoCorasick.twoGroups(pos, neg))
+
+  /** (positive hits, negative hits) of a preprocessed text — one automaton
+    * pass with per-term non-overlapping counts identical to naiveHits.
+    */
+  private[graft] def hits2(processed: String,
+      pos: Set[String], neg: Set[String]): (Int, Int) = {
+    val c = acFor(pos, neg).groupCounts(processed)
+    (c(0), c(1))
+  }
 
   def score(text: String,
       pos: Set[String] = PositiveLexicon, neg: Set[String] = NegativeLexicon): Double = {
     if (text == null || text.isEmpty) return 0.0
-    val p = preprocess(text)
-    val (np, nn) = (hits(p, pos), hits(p, neg))
+    val (np, nn) = hits2(preprocess(text), pos, neg)
     if (np + nn == 0) 0.0
     else math.max(-1.0, math.min(1.0, (np - nn).toDouble / (np + nn)))
   }
@@ -69,7 +93,8 @@ object Sentiment {
       pos: Set[String] = PositiveLexicon, neg: Set[String] = NegativeLexicon): Double = {
     if (text == null || text.isEmpty) return 0.5
     val p = preprocess(text)
-    val n = hits(p, pos) + hits(p, neg)
+    val (np, nn) = hits2(p, pos, neg)
+    val n = np + nn
     val words = p.split(" ").count(_.nonEmpty)
     if (words == 0) 0.5 else math.min(1.0, 0.5 + (n.toDouble / words) * 0.5)
   }

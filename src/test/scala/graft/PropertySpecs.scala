@@ -186,6 +186,42 @@ object SentimentProps extends Properties("Sentiment") {
   }
 }
 
+/** The Aho-Corasick scorer must count exactly like the reference's
+  * per-term str.count scans (sentiment.py:94-130) — including overlapping
+  * patterns, patterns that are substrings of each other, and per-pattern
+  * non-overlapping greedy restarts. The ab-alphabet generators force dense
+  * overlap (e.g. "aa" in "aaaa" counts 2, not 3).
+  */
+object AhoCorasickProps extends Properties("AhoCorasick") {
+  import graft.analysis.AhoCorasick
+  private val abStr: Gen[String] = Gen.choose(1, 4)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+  private val abText: Gen[String] = Gen.choose(0, 60)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+
+  property("totalCount == sum of greedy str.count scans (dense overlap)") =
+    forAll(Gen.nonEmptyListOf(abStr), abText) { (pats, text) =>
+      AhoCorasick(pats).totalCount(text) ==
+        pats.distinct.map(Relevance.countOccurrences(text, _)).sum
+    }
+
+  property("two-group counts: each group = its own naive scan, shared terms count in both") =
+    forAll(Gen.nonEmptyListOf(abStr), Gen.nonEmptyListOf(abStr), abText) {
+      (g0, g1, text) =>
+        val c = AhoCorasick.twoGroups(g0, g1).groupCounts(text)
+        c(0) == g0.distinct.map(Relevance.countOccurrences(text, _)).sum &&
+          c(1) == g1.distinct.map(Relevance.countOccurrences(text, _)).sum
+    }
+
+  property("real lexicons: automaton hits == naive hits on generated text") =
+    forAll(Gens.text) { t =>
+      val p = Sentiment.preprocess(t)
+      Sentiment.hits2(p, Sentiment.PositiveLexicon, Sentiment.NegativeLexicon) ==
+        ((Sentiment.naiveHits(p, Sentiment.PositiveLexicon),
+          Sentiment.naiveHits(p, Sentiment.NegativeLexicon)))
+    }
+}
+
 /** test_issue_detector_property.py:168 — clustering completeness +
   * similarity function invariants.
   */
