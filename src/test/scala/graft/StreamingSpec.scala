@@ -135,6 +135,136 @@ class StreamingSpec extends SparkSpec {
       "test vacuous: batch 2 must re-deliver batch-1 keys")
   }
 
+  /** One coalesced parquet file per micro-batch, mtime-ordered. */
+  private def writeBatchFile(dir: String, idx: Int,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val sub = s"$dir/b$idx"
+    df.coalesce(1).write.parquet(sub)
+    val f = new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(f.length == 1)
+    val dst = new java.io.File(dir, f"part-$idx%05d.parquet")
+    java.nio.file.Files.move(f.head.toPath, dst.toPath)
+    dst.setLastModified(1000000L * (idx + 1))
+  }
+
+  test("seen-dedup stream restarts from its checkpoint: state survives, no reprocessing") {
+    // keys engineered so the post-restart batch re-delivers pre-restart
+    // keys (must stay suppressed by the RESTORED GroupState) plus new ones
+    val mk = (i: Int) => {
+      val host = Fixtures.Hosts(i % 6)
+      val canon = UrlCanon.canonicalize(Fixtures.cleanUrl(host, i % 4, i))
+      (canon, canon, i.toLong, 0)
+    }
+    val phase1 = (0 until 120).map(mk)          // keys 0..119
+    val phase2 = (60 until 180).map(mk)         // re-delivers 60..119, new 120..179
+    val root = tempDir("graft-stream-ckpt-dedup")
+    val dir = s"$root/data"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    writeBatchFile(dir, 0, spark.createDataset(phase1).toDF("canon", "url", "ord0", "ord1"))
+    val schema = spark.read.parquet(s"$dir/part-00000.parquet").schema
+
+    // memory sinks cannot recover a checkpoint — the restartable pair is a
+    // file sink (exactly-once via its _spark_metadata commit log) + the
+    // state store checkpoint
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/part-*.parquet")
+        .as[(String, String, Long, Int)]
+      val q = graft.streaming.Streaming.seenDedupStream(stream)
+        .toDF("canon", "url", "ord0", "ord1")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    run() // processes phase1, then terminates (AvailableNow)
+    val got1 = spark.read.parquet(out).select("canon").as[String].collect().toSet
+    assert(got1 == phase1.map(_._1).toSet)
+
+    // mid-stream stop: new data lands while the query is down, then the
+    // query RESTARTS from the same checkpoint (fresh plan, fresh sink)
+    writeBatchFile(dir, 1, spark.createDataset(phase2).toDF("canon", "url", "ord0", "ord1"))
+    run()
+    val all = spark.read.parquet(out).select("canon").as[String].collect().toVector
+    assert(all.size == all.distinct.size, "a key was emitted twice across the restart")
+    val got2 = all.toSet -- got1
+    val expectedNew = phase2.map(_._1).toSet -- got1
+    assert(got2 == expectedNew,
+      s"restart must emit ONLY unseen keys: extra=${got2 -- expectedNew} missing=${expectedNew -- got2}")
+    assert(expectedNew.nonEmpty && phase2.map(_._1).toSet.intersect(got1).nonEmpty,
+      "test vacuous: phase 2 needs both new and re-delivered keys")
+  }
+
+  test("politeness stream restarts from its checkpoint with host state intact") {
+    // a URL whose 429 fault outlasts maxRetries SUSPENDS its host — the
+    // durable, output-visible state a restart must preserve (a fresh clock
+    // would happily fetch the host's phase-2 URLs)
+    val (suspHost, suspPost) = (for {
+      host <- Fixtures.Hosts.filter(_.startsWith("board")).iterator
+      p <- (0 until 5000).iterator
+      canon = UrlCanon.canonicalize(Fixtures.cleanUrl(host, 0, p))
+      f <- Fixtures.fault(canon)
+      if f.kind == "http_429" && f.count > 3
+    } yield (host, p)).next()
+    val hosts = Vector(suspHost) ++ Fixtures.Hosts.filterNot(_ == suspHost).take(2)
+    val entries = (0 until 120).map { i =>
+      val host = hosts(i % hosts.length)
+      // suspension fires in phase 1 (board 0: the fault was probed there)
+      val (board, post) = if (i == 30) (0, suspPost) else (i % 4, 900 + i)
+      val canon = UrlCanon.canonicalize(Fixtures.cleanUrl(host, board, post))
+      FrontierEntry(0, i.toLong, canon, canon, host, "kw")
+    }
+    val (first, second) = entries.splitAt(60)
+    // sequential oracle over ALL entries with clocks carried through
+    val carried = {
+      val clocks = scala.collection.mutable.Map.empty[String, graft.fetch.HostClock]
+      entries.map { e =>
+        val c = clocks.getOrElseUpdate(e.host, new graft.fetch.HostClock(
+          Fixtures.robotsMap.get(e.host).map(_.crawlDelay).getOrElse(3.0), 3))
+        val (status, attempts, _) = c.fetchOne(graft.fetch.SyntheticFetcher, e.canonUrl)
+        (e.seq, status, attempts)
+      }
+    }
+    // the discriminating oracle: second half with FRESH clocks — what a
+    // state-losing restart would produce. Must differ or the test is vacuous.
+    val fresh = {
+      val clocks = scala.collection.mutable.Map.empty[String, graft.fetch.HostClock]
+      second.map { e =>
+        val c = clocks.getOrElseUpdate(e.host, new graft.fetch.HostClock(
+          Fixtures.robotsMap.get(e.host).map(_.crawlDelay).getOrElse(3.0), 3))
+        val (status, attempts, _) = c.fetchOne(graft.fetch.SyntheticFetcher, e.canonUrl)
+        (e.seq, status, attempts)
+      }
+    }
+    assert(carried.drop(60) != fresh,
+      "test vacuous: carried-over state must be observable in the second half")
+
+    val root = tempDir("graft-stream-ckpt-sched")
+    val dir = s"$root/data"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    writeBatchFile(dir, 0, spark.createDataset(first).toDF())
+    val schema = spark.read.parquet(s"$dir/part-00000.parquet").schema
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/part-*.parquet")
+        .as[FrontierEntry]
+      val q = graft.streaming.Streaming.politenessStream(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    run()
+    assert(spark.read.parquet(out).count() == first.size)
+    writeBatchFile(dir, 1, spark.createDataset(second).toDF())
+    run()
+    val got = spark.read.parquet(out).as[CrawlLogEntry].collect()
+      .sortBy(_.seq).map(e => (e.seq, e.status, e.attempts)).toSeq
+    assert(got.size == entries.size, "restart reprocessed or dropped rows")
+    assert(got == carried, "restarted stream must continue the per-host state machine")
+  }
+
   test("urgent sliding-window counts emit only above the threshold") {
     val schema = spark.read.parquet(docsDir).schema
     val stream = spark.readStream.schema(schema).parquet(docsDir)
