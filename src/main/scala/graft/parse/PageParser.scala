@@ -254,10 +254,12 @@ object PageParser {
       var page = 1
       while (page <= maxCommentPages && cm.find()) {
         if (cm.group(1) != null)
-          // clamp: a marker numeral beyond Int range must degrade to
-          // "past the cap" (stop collecting), never throw mid-parse
-          page = cm.group(1).toIntOption
-            .getOrElse(maxCommentPages + 1).max(1)
+          // markers are tracked MONOTONICALLY: arbitrary HTML can carry a
+          // decreasing marker sequence ("page 5" … "page 2") and the cap
+          // must not re-open once passed. Beyond-Int numerals degrade to
+          // "past the cap" (stop collecting), never throw mid-parse.
+          page = math.max(page,
+            cm.group(1).toIntOption.getOrElse(maxCommentPages + 1))
         else if (page <= maxCommentPages) b += cm.group(2)
       }
       b.result()

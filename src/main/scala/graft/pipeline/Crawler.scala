@@ -188,7 +188,12 @@ final class Crawler(
         rebuilt.count()
         bankAcc = Some(rebuilt)
       }
-      val st = spark.read.parquet(store.tablePath("host_state", last)).persist()
+      // host_state is committed as per-round DELTAS (only the round's
+      // touched (host, lane) rows); the current state is the
+      // latest-round-wins fold — paid once here, not per commit
+      val st = store.readFoldedLatest(spark, "host_state", Seq("host", "lane"))
+        .map(_.persist())
+        .getOrElse(spark.emptyDataset[HostState].toDF().persist())
       lastStateCount = st.count()
       stateAcc = Some(st)
       nextSeqAcc = store.manifestMetric(last, "next_seq").getOrElse(0L)
@@ -296,23 +301,40 @@ final class Crawler(
       .as[Candidate]
 
     // fold the round's new scheduler state (stateAcc must be materialized
-    // BEFORE the outcome cache is dropped)
+    // BEFORE the outcome cache is dropped).
+    //
+    // localCheckpoint, NOT persist, for every DataFrame that crosses a
+    // round boundary (state fold, seen chain, next candidates): a cached
+    // plan still NESTS its parents' plans via InMemoryRelation's inner
+    // children, so round N's logical tree contains round N-1's, which
+    // contains round N-2's … — compute stays bounded (caches cut
+    // recomputation) but the plan TREE grows without bound, and the
+    // driver's per-action plan-description walk (SQL listener events)
+    // turns O(rounds)-deep trees into minutes of driver CPU by round ~4
+    // (observed: 457 s in ExplainUtils on a 5th-round action). An eager
+    // localCheckpoint rebases the frame on a LogicalRDD — plan depth 1,
+    // partitioning/ordering preserved (the seen chain's canon-hash layout
+    // still feeds the anti-joins exchange-free). A lost block fails the
+    // run instead of silently recomputing — resume covers that.
     val newState = hostStates.toDF()
-    val mergedState = (stateAcc match {
-      case Some(old) => old.join(newState.select("host", "lane"), Seq("host", "lane"), "left_anti")
-        .unionByName(newState)
-      case None => newState
-    }).persist()
-    lastStateCount = timed(s"r$round host-state") { mergedState.count() }
+    val mergedState = timed(s"r$round host-state") {
+      val m = (stateAcc match {
+        case Some(old) => old.join(newState.select("host", "lane"), Seq("host", "lane"), "left_anti")
+          .unionByName(newState)
+        case None => newState
+      }).localCheckpoint(true)
+      lastStateCount = m.count()
+      m
+    }
 
-    // fold the round's frontier into the seen chain (persisted partitioned
-    // on canon and MATERIALIZED now — both the anti-join and the round
-    // bank read it, and it must not lazily re-run the sequencer lineage
-    // after seqCache is dropped)
-    // (materialization happens via the bank count below — the bank build
-    // scans roundSeen, caching it as a side effect; no separate barrier)
+    // fold the round's frontier into the seen chain: canon-hash
+    // partitioned, then localCheckpoint (eager) — materialized now (both
+    // the anti-join and the round bank read it, and it must not lazily
+    // re-run the sequencer lineage after seqCache is dropped), partition
+    // layout preserved through the LogicalRDD, lineage truncated (see the
+    // host-state note above)
     val roundSeen = frontier.select($"canonUrl".as("canon")).toDF()
-      .repartition(seenP, $"canon").persist()
+      .repartition(seenP, $"canon").localCheckpoint(true)
     seenParts :+= roundSeen
 
     // bloom bank fold: build this round's bank from the cached roundSeen,
@@ -337,7 +359,7 @@ final class Crawler(
     bankAcc = Some(mergedBank)
 
     if (config.persistRounds)
-      commitRound(round, frontier, results, mergedState,
+      commitRound(round, frontier, results, newState,
         seqStart + frontierCount, frontierCount)
 
     // bound the seen chain: collapse into one partitioned cache every
@@ -347,9 +369,12 @@ final class Crawler(
     // lineage (a lost blob would recompute through every prior round), and
     // the rebuild is also where a config width change takes effect.
     if (seenParts.size > collapseEvery) {
-      val collapsed = seenParts.reduce(_.unionByName(_))
-        .repartition(seenP, $"canon").persist()
-      timed(s"r$round seen-collapse") { collapsed.count() }
+      val collapsed = timed(s"r$round seen-collapse") {
+        val c = seenParts.reduce(_.unionByName(_))
+          .repartition(seenP, $"canon").localCheckpoint(true)
+        c.count()
+        c
+      }
       seenParts.foreach(_.unpersist())
       seenParts = Vector(collapsed)
       val rebuilt = DistBloomBank.buildRound(collapsed, "canon",
@@ -359,8 +384,13 @@ final class Crawler(
       bankAcc = Some(rebuilt)
     }
 
-    val materializedNext = next.persist()
-    val nextCount = timed(s"r$round next-candidates") { materializedNext.count() }
+    // next round's candidates are the one frame whose lineage reaches
+    // through the outcome cache — checkpointing here is what keeps round
+    // N+1's plans independent of round N's
+    val materializedNext = timed(s"r$round next-candidates") {
+      next.localCheckpoint(true)
+    }
+    val nextCount = materializedNext.count()
     val oldState = stateAcc
     stateAcc = Some(mergedState)
     oldState.foreach(_.unpersist())
@@ -508,9 +538,13 @@ final class Crawler(
 
   /** Atomic snapshot commit of the round's five tables + bloom bank (all
     * inputs already computed/cached by runRound — this is write-only).
+    * host_state is a DELTA: only the (host, lane) rows the round touched
+    * (at 10^8 hosts a full-state rewrite per round would be
+    * O(total-hosts) I/O for a fractional change); resume folds the deltas
+    * latest-round-wins (SnapshotStore.readFoldedLatest).
     */
   private def commitRound(round: Int, frontier: Dataset[FrontierEntry],
-      results: Dataset[FetchParseRow], mergedState: DataFrame,
+      results: Dataset[FetchParseRow], roundStateDelta: DataFrame,
       nextSeq: Long, frontierCount: Long): Unit = {
     val docs = results.filter($"status" === "fetched")
       .select($"round", $"seq", $"canonUrl".as("doc_id"), $"url", $"host".as("site"),
@@ -532,7 +566,7 @@ final class Crawler(
 
     timed(s"r$round commit-tables") { store.commit(round,
       Map("docs" -> docs, "crawl_log" -> crawlLog, "seen" -> seen,
-        "metrics" -> metrics, "host_state" -> mergedState),
+        "metrics" -> metrics, "host_state" -> roundStateDelta),
       knownCounts = Map("seen" -> frontierCount, "crawl_log" -> frontierCount),
       metricsJson = s"""{"next_seq":$nextSeq,"frontier":$frontierCount}""") }
   }

@@ -82,6 +82,28 @@ final class SnapshotStore(val root: String) {
     else Some(rounds.map(r => spark.read.parquet(tablePath(table, r))).reduce(_.unionByName(_)))
   }
 
+  /** Latest-round-wins fold of a DELTA table: each round commits only the
+    * keys it touched; the current state is, per key, the row from the
+    * highest committed round. One shuffle on the key at read time — paid
+    * only at resume, so per-round commit I/O stays O(|touched keys|)
+    * instead of O(|all keys ever|) (the Iceberg analogue is a
+    * merge-on-read position/equality delete fold).
+    */
+  def readFoldedLatest(spark: SparkSession, table: String, keyCols: Seq[String],
+      maxRound: Int = Int.MaxValue): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val rounds = committedRounds().filter(_ <= maxRound)
+      .filter(r => Files.exists(Paths.get(tablePath(table, r))))
+    if (rounds.isEmpty) return None
+    val tagged = rounds.map(r =>
+      spark.read.parquet(tablePath(table, r)).withColumn("__r", lit(r)))
+      .reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__r").desc)
+    Some(tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__r"))
+  }
+
   /** Bulk load with provenance: the reference dashboard tags every loaded
     * row with its source file (`_source_file`, dashboard/app.py:32-55).
     * Spark-native equivalent: `input_file_name()` evaluated inside the

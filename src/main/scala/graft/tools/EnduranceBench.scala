@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Long-crawl endurance: run maxRounds ≫ collapseEvery with snapshot
+  * persistence ON and record per-round wall time. A flat per-round cost
+  * (normalized by frontier size) is the evidence that the seen-chain
+  * collapse + bank-rebuild cycle bounds lineage/plan depth in practice,
+  * and that delta host-state commits keep per-round commit I/O independent
+  * of crawl age. Prints ONE JSON line with the per-round records.
+  *
+  * Usage: runMain graft.tools.EnduranceBench [nSeeds] [rounds] [cores] [collapseEvery] [nHosts]
+  */
+object EnduranceBench {
+  def main(args: Array[String]): Unit = {
+    val nSeeds = args.lift(0).map(_.toLong).getOrElse(100000L)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(12)
+    val cores = args.lift(2).getOrElse("24")
+    val collapseEvery = args.lift(3).map(_.toInt).getOrElse(4)
+    // nHosts bounds the outlink URL space (outlinks stay on their host,
+    // boards 0-4, posts 0-999): ~5k reachable URLs per host. Size it so
+    // the space saturates mid-run — late rounds then shrink, which makes
+    // any lineage/fixed-cost growth stand out instead of hiding inside
+    // ever-bigger rounds.
+    val nHosts = args.lift(4).map(_.toInt).getOrElse(128)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark-local"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val store = java.nio.file.Files.createTempDirectory("graft-endurance").toString
+    val seeds = spark.range(nSeeds)
+      .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 2000000, nHosts = nHosts))
+    val cfg = graft.core.CrawlConfig(maxRounds = rounds,
+      seenPartitions = cores.toInt, saltFactor = 32,
+      bloomExpectedPerPartition = 2000000L, collapseEvery = collapseEvery,
+      persistRounds = true)
+
+    val crawler = new graft.pipeline.Crawler(spark, cfg, store)
+    var candidates = crawler.seedCandidates(seeds)
+    var round = 0
+    var have = true
+    val recs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val t0All = System.nanoTime()
+    var prevScheduled = 0L
+    while (round < rounds && have) {
+      val t0 = System.nanoTime()
+      val (next, n) = crawler.runRound(round, candidates)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cum = crawler.totalScheduled
+      val roundUrls = cum - prevScheduled
+      prevScheduled = cum
+      recs += f"""{"round":$round,"wall_sec":$wall%.2f,"round_urls":$roundUrls,""" +
+        f""""next_candidates":$n,"cum_scheduled":$cum,""" +
+        f""""urls_per_sec":${roundUrls / wall}%.0f}"""
+      println(s"[endurance] ${recs.last}")
+      candidates = next
+      have = n > 0
+      round += 1
+    }
+    val totalSec = (System.nanoTime() - t0All) / 1e9
+    println(s"""{"metric":"endurance_rounds","rounds_run":$round,""" +
+      f""""total_sec":$totalSec%.1f,"total_scheduled":${crawler.totalScheduled},""" +
+      f""""urls_per_sec":${crawler.totalScheduled / totalSec}%.0f,""" +
+      s""""collapse_every":$collapseEvery,"cores":$cores,"seeds":$nSeeds,""" +
+      s""""per_round":[${recs.mkString(",")}]}""")
+    spark.stop()
+  }
+}

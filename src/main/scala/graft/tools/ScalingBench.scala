@@ -118,7 +118,7 @@ object ScalingBench {
     // I/O-bound and cannot evidence compute scaling (a cluster writes to
     // distributed storage that scales with executors). End-to-end numbers
     // including persistence are reported by graft.Bench.
-    // saltFactor 32: the Zipf head (2 hosts ~30% of the frontier) must be
+    // saltFactor 64: the Zipf head (2 hosts ~30% of the frontier) must be
     // split finely enough that no single (host, lane) task dominates the
     // fetch stage wall-time at the HIGH parallelism level — with coarse salting the
     // hottest lane (~57k URLs) was a single ~15 s task, i.e. a serial tail
@@ -189,7 +189,12 @@ object ScalingBench {
     // downclock existing ones.
     val clockRatio = (spdLo.sum / spdLo.size) / (spdHi.sum / spdHi.size)
     val memRatio = (memLo.sum / memLo.size) / (memHi.sum / memHi.size)
-    val effEnvelope = eff * clockRatio * memRatio
+    // envelope correction uses max(clock, mem), NOT their product: a
+    // workload is bounded by one resource at a time, so multiplying both
+    // ratios double-counts the host's active-core response (the round-3
+    // artifact reported a >1.0 "efficiency" exactly this way). Still a
+    // SECONDARY diagnostic — the raw value is the number of record.
+    val effEnvelope = eff * math.max(clockRatio, memRatio)
     println(f"""{"metric":"crawl_scaling_efficiency","value":$eff%.3f,""" +
       f""""envelope_normalized_efficiency":$effEnvelope%.3f,""" +
       f""""host_clock_ratio_lo_over_hi":$clockRatio%.3f,""" +
@@ -197,6 +202,6 @@ object ScalingBench {
       f""""cores_lo":$lo,"cores_hi":$hi,"urls":$urls,"reps":$reps,""" +
       f""""sec_lo":$loSec%.2f,"sec_hi":$hiSec%.2f,""" +
       f""""urls_per_sec_lo":$thrLo%.1f,"urls_per_sec_hi":$thrHi%.1f,""" +
-      f""""note":"value = raw wall-clock efficiency; envelope_normalized multiplies by the measured per-thread register-spin and 16MB-copy throughput ratios between the two active-core counts (this single box downclocks/saturates shared cache+DRAM as active cores grow — adding cluster NODES adds whole memory systems instead)"}""")
+      f""""note":"value = raw wall-clock efficiency (the number of record); envelope_normalized divides out the WORSE of the measured per-thread register-spin / 16MB-copy throughput ratios between the two active-core counts (this single box downclocks/saturates shared cache+DRAM as active cores grow — adding cluster NODES adds whole memory systems instead)"}""")
   }
 }

@@ -98,6 +98,43 @@ class CrawlParitySpec extends SparkSpec {
     assert(got == oracle.crawlLog.sortBy(_.seq))
   }
 
+  test("resume after TWO rounds folds host-state deltas latest-round-wins") {
+    import spark.implicits._
+    val cfg3 = config.copy(maxRounds = 3)
+    val oracle3 = graft.oracle.SequentialOracle.run(seeds, cfg3)
+    val dir = tempDir("graft-resume-delta")
+    new Crawler(spark, cfg3.copy(maxRounds = 2), dir).run(spark.createDataset(seeds))
+    val store = new graft.snapshot.SnapshotStore(dir)
+    assert(store.latestRound().contains(1))
+    // the committed host_state tables are DELTAS: rounds overlap on some
+    // (host, lane) keys with different values, else the fold is vacuous
+    val d0 = spark.read.parquet(store.tablePath("host_state", 0))
+      .select("host", "lane", "virtualTime").as[(String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val d1 = spark.read.parquet(store.tablePath("host_state", 1))
+      .select("host", "lane", "virtualTime").as[(String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val overlap = d0.keySet & d1.keySet
+    assert(overlap.nonEmpty, "test vacuous: rounds must touch shared keys")
+    assert(overlap.exists(k => d0(k) != d1(k)),
+      "test vacuous: an overlapped key must change state between rounds")
+    // deltas must really be deltas: round 1 commits only its touched keys,
+    // not the whole accumulated table — here that means no key that went
+    // quiet, which at minimum keeps |delta| ≤ |touched frontier hosts|
+    val r1Hosts = spark.read.parquet(store.tablePath("crawl_log", 1))
+      .select("host").distinct().as[String].collect().toSet
+    assert(d1.keySet.map(_._1).subsetOf(r1Hosts),
+      "round 1 host_state contains hosts the round never touched")
+    // resume round 2: the folded state must continue the state machine
+    // exactly (a stale round-0 row would desync retry/suspension/clocks)
+    new Crawler(spark, cfg3, dir).run(spark.createDataset(seeds))
+    val got = spark.read.parquet(
+      s"$dir/data/crawl_log/round=0", s"$dir/data/crawl_log/round=1",
+      s"$dir/data/crawl_log/round=2")
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    assert(got == oracle3.crawlLog.sortBy(_.seq))
+  }
+
   test("resume under a CHANGED seenPartitions config: no re-crawl, exact parity") {
     // the ADVICE-flagged failure mode: round-2 banks loaded at the resume
     // config's width, probing the wrong filters → bloom 'false' (treated as

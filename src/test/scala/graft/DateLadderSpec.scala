@@ -103,6 +103,26 @@ class DateLadderSpec extends AnyFunSuite {
     assert(one.map(_.content) == Vector("page1"))
   }
 
+  test("comment pagination: decreasing markers cannot re-open a passed cap") {
+    // malformed marker order ("page 3" then "page 2"): the cap tracks the
+    // MAX page seen, so the page-2-labelled trailing block stays dropped
+    // once page 3 was passed under maxCommentPages=2
+    val blocks = Seq(
+      cblock("a1"),
+      s"""<hr class="cpage" data-page="3">""", cblock("late3"),
+      s"""<hr class="cpage" data-page="2">""", cblock("late2")).mkString("\n")
+    val url = "https://steam.example.org/board/0/post/3"
+    val got = PageParser.parse(page(blocks), url, maxCommentPages = 2).get.comments
+    assert(got.map(_.content) == Vector("a1"),
+      s"decreasing marker re-opened the cap: ${got.map(_.content)}")
+    // a beyond-Int numeral degrades to past-the-cap, and stays terminal
+    val big = Seq(cblock("b1"),
+      s"""<hr class="cpage" data-page="99999999999">""", cblock("b2"),
+      s"""<hr class="cpage" data-page="2">""", cblock("b3")).mkString("\n")
+    val got2 = PageParser.parse(page(big), url, maxCommentPages = 3).get.comments
+    assert(got2.map(_.content) == Vector("b1"))
+  }
+
   test("fixture comments carry dates end to end (all four grammars)") {
     val hosts = Seq("steam.example.org", "inven.example.kr",
       "ruliweb.example.kr", "dcinside.example.kr")
