@@ -322,19 +322,26 @@ final class Crawler(
         case Some(old) => old.join(newState.select("host", "lane"), Seq("host", "lane"), "left_anti")
           .unionByName(newState)
         case None => newState
-      }).localCheckpoint(true)
+      }).localCheckpoint(false) // lazy: the count below materializes it
       lastStateCount = m.count()
       m
     }
 
-    // fold the round's frontier into the seen chain: canon-hash
-    // partitioned, then localCheckpoint (eager) — materialized now (both
-    // the anti-join and the round bank read it, and it must not lazily
-    // re-run the sequencer lineage after seqCache is dropped), partition
-    // layout preserved through the LogicalRDD, lineage truncated (see the
-    // host-state note above)
+    // fold the round's frontier into the seen chain. Order of operations
+    // matters for BOTH pathologies here:
+    //  - localCheckpoint on the narrow projection truncates lineage (see
+    //    the host-state note above) — but a LogicalRDD reports UNKNOWN
+    //    partitioning, so checkpointing AFTER the repartition would make
+    //    every later anti-join re-shuffle the whole chain part (verified:
+    //    the join plans an Exchange over Scan ExistingRDD);
+    //  - repartition + persist ON TOP of the checkpoint keeps the
+    //    canon-hash layout visible through InMemoryRelation, so the
+    //    per-round anti-joins stay exchange-free on the history side.
+    // Lazy checkpoint: the first pass (the bank build below) materializes
+    // checkpoint blocks, shuffle and columnar cache in ONE scan.
     val roundSeen = frontier.select($"canonUrl".as("canon")).toDF()
-      .repartition(seenP, $"canon").localCheckpoint(true)
+      .localCheckpoint(false)
+      .repartition(seenP, $"canon").persist()
     seenParts :+= roundSeen
 
     // bloom bank fold: build this round's bank from the cached roundSeen,
@@ -369,9 +376,13 @@ final class Crawler(
     // lineage (a lost blob would recompute through every prior round), and
     // the rebuild is also where a config width change takes effect.
     if (seenParts.size > collapseEvery) {
+      // same checkpoint-below-repartition-below-persist layering as
+      // roundSeen: bounded plan depth AND a partitioning the anti-joins
+      // can reuse
       val collapsed = timed(s"r$round seen-collapse") {
         val c = seenParts.reduce(_.unionByName(_))
-          .repartition(seenP, $"canon").localCheckpoint(true)
+          .localCheckpoint(false)
+          .repartition(seenP, $"canon").persist()
         c.count()
         c
       }
@@ -387,10 +398,11 @@ final class Crawler(
     // next round's candidates are the one frame whose lineage reaches
     // through the outcome cache — checkpointing here is what keeps round
     // N+1's plans independent of round N's
-    val materializedNext = timed(s"r$round next-candidates") {
-      next.localCheckpoint(true)
-    }
-    val nextCount = materializedNext.count()
+    // lazy checkpoint + count = one materializing pass (no partitioning
+    // worth preserving here — the next round's dedup window reshuffles on
+    // canon anyway)
+    val materializedNext = next.localCheckpoint(false)
+    val nextCount = timed(s"r$round next-candidates") { materializedNext.count() }
     val oldState = stateAcc
     stateAcc = Some(mergedState)
     oldState.foreach(_.unpersist())
