@@ -273,6 +273,10 @@ final class Crawler(
       Sequencer.addSeq(fresh, Seq(col("ord0"), col("ord1")), "seq", seqStart)
     }
     fresh.unpersist() // seqCache is materialized by addSeq's count pass
+    // the consumed candidates cache (last round's materializedNext) has
+    // flowed into seqCache — drop it now instead of leaking one cached
+    // frame per round
+    candidates.unpersist()
     val sequenced = sequencedRaw // host column flows from the candidate stage
 
     val frontier = sequenced.select(
@@ -300,29 +304,34 @@ final class Crawler(
       .select($"url", $"keyword", $"ord0", $"ord1".cast("int"))
       .as[Candidate]
 
-    // fold the round's new scheduler state (stateAcc must be materialized
-    // BEFORE the outcome cache is dropped).
-    //
-    // localCheckpoint, NOT persist, for every DataFrame that crosses a
-    // round boundary (state fold, seen chain, next candidates): a cached
-    // plan still NESTS its parents' plans via InMemoryRelation's inner
-    // children, so round N's logical tree contains round N-1's, which
+    // Lineage bounding for round-crossing frames. A cached plan NESTS its
+    // parents' plans via InMemoryRelation's inner children, so without
+    // intervention round N's logical tree contains round N-1's, which
     // contains round N-2's … — compute stays bounded (caches cut
     // recomputation) but the plan TREE grows without bound, and the
     // driver's per-action plan-description walk (SQL listener events)
-    // turns O(rounds)-deep trees into minutes of driver CPU by round ~4
-    // (observed: 457 s in ExplainUtils on a 5th-round action). An eager
-    // localCheckpoint rebases the frame on a LogicalRDD — plan depth 1,
-    // partitioning/ordering preserved (the seen chain's canon-hash layout
-    // still feeds the anti-joins exchange-free). A lost block fails the
-    // run instead of silently recomputing — resume covers that.
+    // went superlinear by round ~4 (observed: 457 s in ExplainUtils).
+    // Two growth modes, two treatments:
+    //  - the SEEN CHAIN is referenced 5-8× by every later round (the
+    //    anti-join fan-in) — multiplicative tree growth. Flattened EVERY
+    //    round via a lazy localCheckpoint under its repartition+persist
+    //    (see roundSeen below).
+    //  - candidates and host-state form single chains — linear growth
+    //    (~30 nodes/round once the seen leaves are flat). They keep plain
+    //    columnar persist() (compressed, no extra copy vs round 3) and are
+    //    flattened once per collapse cycle, bounding the chain at
+    //    collapseEvery rounds.
+    // A lost checkpoint block fails the run instead of silently
+    // recomputing — resume covers that.
+    val flattenRound = seenParts.size + 1 > collapseEvery // this round will collapse
     val newState = hostStates.toDF()
     val mergedState = timed(s"r$round host-state") {
-      val m = (stateAcc match {
+      val merged = (stateAcc match {
         case Some(old) => old.join(newState.select("host", "lane"), Seq("host", "lane"), "left_anti")
           .unionByName(newState)
         case None => newState
-      }).localCheckpoint(false) // lazy: the count below materializes it
+      })
+      val m = if (flattenRound) merged.localCheckpoint(false) else merged.persist()
       lastStateCount = m.count()
       m
     }
@@ -398,10 +407,11 @@ final class Crawler(
     // next round's candidates are the one frame whose lineage reaches
     // through the outcome cache — checkpointing here is what keeps round
     // N+1's plans independent of round N's
-    // lazy checkpoint + count = one materializing pass (no partitioning
-    // worth preserving here — the next round's dedup window reshuffles on
-    // canon anyway)
-    val materializedNext = next.localCheckpoint(false)
+    // columnar persist in ordinary rounds; flattened on collapse rounds
+    // (see the lineage note above — candidates nest linearly, not
+    // multiplicatively, once the seen chain is flat)
+    val materializedNext =
+      if (flattenRound) next.localCheckpoint(false) else next.persist()
     val nextCount = timed(s"r$round next-candidates") { materializedNext.count() }
     val oldState = stateAcc
     stateAcc = Some(mergedState)
@@ -555,16 +565,30 @@ final class Crawler(
     * O(total-hosts) I/O for a fractional change); resume folds the deltas
     * latest-round-wins (SnapshotStore.readFoldedLatest).
     */
+  /** Cap a table's write fan-out by its (estimated) row count: a round's
+    * tables otherwise inherit the fetch stage's 16-per-core partitioning,
+    * so a small round writes hundreds of near-empty files per table — the
+    * classic lake small-file problem, and a measured ~6 s per-round commit
+    * floor on this box. coalesce (no shuffle) — the commit is write-bound,
+    * not compute-bound, and the cap scales back up with round size.
+    */
+  private def sizedForWrite(df: DataFrame, estRows: Long, rowsPerFile: Long): DataFrame =
+    if (estRows < 0) df
+    else df.coalesce(math.max(1, math.min(spark.sparkContext.defaultParallelism * 4L,
+      math.ceil(estRows.toDouble / rowsPerFile).toLong).toInt))
+
   private def commitRound(round: Int, frontier: Dataset[FrontierEntry],
       results: Dataset[FetchParseRow], roundStateDelta: DataFrame,
       nextSeq: Long, frontierCount: Long): Unit = {
-    val docs = results.filter($"status" === "fetched")
+    val docs = sizedForWrite(results.filter($"status" === "fetched")
       .select($"round", $"seq", $"canonUrl".as("doc_id"), $"url", $"host".as("site"),
         $"keyword", $"title", $"author", $"created_at", $"view_count", $"like_count",
-        $"spans", $"outlinks", $"comments")
-    val crawlLog = results.select($"round", $"seq", $"url", $"canonUrl", $"host",
-      $"status", $"attempts")
-    val seen = frontier.select($"round", $"seq", $"canonUrl", $"host")
+        $"spans", $"outlinks", $"comments"),
+      frontierCount, rowsPerFile = 8000L) // fat rows (~16 KB) → ~128 MB files
+    val crawlLog = sizedForWrite(results.select($"round", $"seq", $"url", $"canonUrl",
+      $"host", $"status", $"attempts"), frontierCount, rowsPerFile = 500000L)
+    val seen = sizedForWrite(frontier.select($"round", $"seq", $"canonUrl", $"host"),
+      frontierCount, rowsPerFile = 500000L)
     val metrics = results.groupBy($"partitionId").agg(
       lit(round).as("round"),
       countDistinct($"host").as("hosts"),
@@ -578,7 +602,8 @@ final class Crawler(
 
     timed(s"r$round commit-tables") { store.commit(round,
       Map("docs" -> docs, "crawl_log" -> crawlLog, "seen" -> seen,
-        "metrics" -> metrics, "host_state" -> roundStateDelta),
+        "metrics" -> sizedForWrite(metrics, 1L, 1L),
+        "host_state" -> sizedForWrite(roundStateDelta, lastStateCount, 500000L)),
       knownCounts = Map("seen" -> frontierCount, "crawl_log" -> frontierCount),
       metricsJson = s"""{"next_seq":$nextSeq,"frontier":$frontierCount}""") }
   }
