@@ -316,22 +316,22 @@ final class Crawler(
     //    anti-join fan-in) — multiplicative tree growth. Flattened EVERY
     //    round via a lazy localCheckpoint under its repartition+persist
     //    (see roundSeen below).
-    //  - candidates and host-state form single chains — linear growth
-    //    (~30 nodes/round once the seen leaves are flat). They keep plain
-    //    columnar persist() (compressed, no extra copy vs round 3) and are
-    //    flattened once per collapse cycle, bounding the chain at
-    //    collapseEvery rounds.
+    //  - candidates and host-state CROSS-REFERENCE each other through the
+    //    outcome plan (outcome_k nests candidates_{k-1} AND state_{k-1}),
+    //    so they too grow multiplicatively between flattens — measured:
+    //    deferring their flattening to collapse rounds made per-round
+    //    commit cost climb 7→14.5→70 s across one cycle and reset after.
+    //    Flattened EVERY round (lazy localCheckpoint; the existing count
+    //    is the single materializing pass — no extra scan vs persist).
     // A lost checkpoint block fails the run instead of silently
     // recomputing — resume covers that.
-    val flattenRound = seenParts.size + 1 > collapseEvery // this round will collapse
     val newState = hostStates.toDF()
     val mergedState = timed(s"r$round host-state") {
-      val merged = (stateAcc match {
+      val m = (stateAcc match {
         case Some(old) => old.join(newState.select("host", "lane"), Seq("host", "lane"), "left_anti")
           .unionByName(newState)
         case None => newState
-      })
-      val m = if (flattenRound) merged.localCheckpoint(false) else merged.persist()
+      }).localCheckpoint(false)
       lastStateCount = m.count()
       m
     }
@@ -407,11 +407,9 @@ final class Crawler(
     // next round's candidates are the one frame whose lineage reaches
     // through the outcome cache — checkpointing here is what keeps round
     // N+1's plans independent of round N's
-    // columnar persist in ordinary rounds; flattened on collapse rounds
-    // (see the lineage note above — candidates nest linearly, not
-    // multiplicatively, once the seen chain is flat)
-    val materializedNext =
-      if (flattenRound) next.localCheckpoint(false) else next.persist()
+    // flattened every round (see the lineage note above — candidates are
+    // one leg of the multiplicative outcome/state cross-reference)
+    val materializedNext = next.localCheckpoint(false)
     val nextCount = timed(s"r$round next-candidates") { materializedNext.count() }
     val oldState = stateAcc
     stateAcc = Some(mergedState)
