@@ -56,11 +56,21 @@ object Bench {
             s"${e.getMessage}) — its timed result includes the in-query build")
       }
 
+    // in-run noise sampler: the bracketing spin probes see only the
+    // endpoints; a host burst that starts and ends mid-run (the round-4
+    // 7,074 urls/s record's failure mode) is visible only from inside
+    val batterySampler = new graft.tools.NoiseSampler()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val batteryNoise = batterySampler.stop()
+    // guard telemetry (default-on): the session listener has been recording
+    // recall-guard drop fractions for every guarded op the battery ran; the
+    // listener bus is async, so give it a beat before draining
+    Thread.sleep(2000)
+    val guardDrops = graft.ops.Guard.drainDropLedger()
 
     // crawl-engine throughput: distributed bench frontier, 2 rounds;
     // sized to the JVM's parallelism so driver-side runs stay bounded
@@ -71,9 +81,11 @@ object Bench {
       .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 200000, nHosts = 1024))
     val cfg = graft.core.CrawlConfig(maxRounds = 2, seenPartitions = cpus.toInt,
       saltFactor = 32, bloomExpectedPerPartition = 2000000L)
+    val crawlSampler = new graft.tools.NoiseSampler()
     val t0 = System.nanoTime()
     new graft.pipeline.Crawler(spark, cfg, store).run(seeds)
     val crawlSec = (System.nanoTime() - t0) / 1e9
+    val crawlNoise = crawlSampler.stop()
     val scheduled = new graft.snapshot.SnapshotStore(store)
       .read(spark, "crawl_log").map(_.count()).getOrElse(0L)
     val urlsPerSec = scheduled / crawlSec
@@ -83,10 +95,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cold = coldIndexes.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // idle reference for the in-run flags: the better of the two bracketing
+    // probes ("before" can read low when JVM startup work is still
+    // settling). local[$cpus] fully subscribes this box, so the margins are
+    // the loose full-subscription ones (see NoiseSampler.flaggedVsIdle) —
+    // clean-host self-squeeze measured: median 0.96×idle, p25 0.69×idle.
+    val idleRef = math.max(spinBefore, spinAfter)
+    val batteryFlag = batteryNoise.flaggedVsIdle(idleRef, medianFrac = 0.80, p25Frac = 0.50)
+    val crawlFlag = crawlNoise.flaggedVsIdle(idleRef, medianFrac = 0.80, p25Frac = 0.50)
     println(s"""{"metric":"urls_fetched_deduped_per_sec","value":$urlsPerSec,"unit":"urls/sec",""" +
       f""""crawl_seconds":$crawlSec%.2f,"crawl_urls":$scheduled,"crawl_seeds":$nSeeds,""" +
       f""""queries_total_sec":$total%.2f,"queries":$qs,"cold_index_builds":$cold,""" +
       f""""spin_before_mps":${spinBefore / 1e6}%.1f,"spin_after_mps":${spinAfter / 1e6}%.1f,""" +
+      s""""inrun_noise_battery":${batteryNoise.json(batteryFlag)},""" +
+      s""""inrun_noise_crawl":${crawlNoise.json(crawlFlag)},""" +
+      guardDrops.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+        .mkString("\"guard_drops\":{", ",", "},") +
       f""""sf":"$sfDir","cores":$cpus}""")
     spark.stop()
   }

@@ -61,13 +61,23 @@ object Sentiment {
   private[graft] def naiveHits(processed: String, lexicon: Set[String]): Int =
     lexicon.iterator.map(w => Relevance.countOccurrences(processed, w)).sum
 
-  // one automaton per (pos, neg) lexicon pair; the default pair is built
-  // once per JVM. Keys are the Set instances callers pass (element hashes
-  // are cached by String, so the map lookup is cheap per doc).
+  // The default lexicon pair resolves by REFERENCE equality to a
+  // once-per-JVM automaton — the per-document fast path never hashes the
+  // two ~453-element Sets (a structural key would re-Murmur both Sets'
+  // elements on every lookup). Non-default pairs (tests, custom lexicons)
+  // fall back to a structurally-keyed cache; that cache strongly retains
+  // its key Sets, so it is BOUNDED — a caller constructing fresh per-batch
+  // sets cycles the cache instead of leaking it.
+  private lazy val defaultAc = AhoCorasick.twoGroups(PositiveLexicon, NegativeLexicon)
+  private val acCacheMax = 64
   private val acCache =
     scala.collection.concurrent.TrieMap.empty[(Set[String], Set[String]), AhoCorasick]
   private def acFor(pos: Set[String], neg: Set[String]): AhoCorasick =
-    acCache.getOrElseUpdate((pos, neg), AhoCorasick.twoGroups(pos, neg))
+    if ((pos eq PositiveLexicon) && (neg eq NegativeLexicon)) defaultAc
+    else {
+      if (acCache.size >= acCacheMax) acCache.clear()
+      acCache.getOrElseUpdate((pos, neg), AhoCorasick.twoGroups(pos, neg))
+    }
 
   /** (positive hits, negative hits) of a preprocessed text — one automaton
     * pass with per-term non-overlapping counts identical to naiveHits.

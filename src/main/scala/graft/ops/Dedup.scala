@@ -91,7 +91,8 @@ object Dedup {
     // drops are observable through `obs` (Guard.observeDrops piggybacks on
     // this aggregation).
     val counts = Guard.observeDrops(
-      keyed.groupBy(col("band"), col("key")).count(), obs, maxBucket)
+      keyed.groupBy(col("band"), col("key")).count(), obs, maxBucket,
+      label = "lshCandidatePairs")
     val small = counts.filter(col("count") <= maxBucket).select(col("band"), col("key"))
     val guarded = keyed.join(small, Seq("band", "key"))
     val a = guarded.as("a"); val b = guarded.as("b")
@@ -149,7 +150,8 @@ object Dedup {
     val filtered =
       if (maxDf == Int.MaxValue) inv
       else inv.join(
-        Guard.observeDrops(inv.groupBy("sh").count(), obs, maxDf)
+        Guard.observeDrops(inv.groupBy("sh").count(), obs, maxDf,
+            label = "ngramJaccardPairs")
           .filter(col("count") <= maxDf).select("sh"),
         Seq("sh"))
     // EXPLICIT fixed-width repartition on the join key. The join inputs are
@@ -271,7 +273,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.q").as("q"), col("bk.key").as("key"))
       .repartition(p, col("q"), col("key"))
     val small = Guard.observeDrops(keyed.groupBy(col("q"), col("key")).count(),
-        obs, maxBucket)
+        obs, maxBucket, label = "simhashDupPairs")
       .filter(col("count") <= maxBucket).select(col("q"), col("key"))
     val guarded = keyed.join(small, Seq("q", "key"))
     val a = guarded.select(col("q"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
@@ -320,7 +322,7 @@ object Dedup {
         Similarity.signBucketCol(col("embedding"), dim, planes, seed))
       .repartition(p, col("bucket"))
     val small = Guard.observeDrops(bucketed.groupBy(col("bucket")).count(),
-        obs, maxBucket)
+        obs, maxBucket, label = "embeddingDupPairs")
       .filter(col("count") <= maxBucket).select("bucket")
     val guarded = bucketed.join(small, Seq("bucket"))
     val a = guarded.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))

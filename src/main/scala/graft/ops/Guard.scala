@@ -45,9 +45,14 @@ object Guard {
       * AQE's empty-relation propagation prunes the observed subtree out of
       * the executed plan — the observation then completes with an empty
       * row. That is exactly the catastrophic case this metric exists for,
-      * so it falls back to re-running the (tiny) bucket-count aggregation
-      * as its own job (deterministic ops → identical counts; cached after
-      * the first read).
+      * so it falls back to re-running the saved bucket-count aggregation as
+      * its own job. NOTE the cost and contract of that fallback: the saved
+      * frame re-executes from FULL lineage — a complete re-scan/re-shuffle
+      * of the operator's input, not just the final tiny aggregation — and
+      * it assumes the lineage is deterministic (true for every graft op;
+      * a nondeterministic caller-supplied source could report counts from
+      * a different realization than the run it describes). A WARN announces
+      * the recompute; the result is cached after the first read.
       */
     def metrics: Map[String, Long] =
       if (!attached) zeros
@@ -58,6 +63,9 @@ object Guard {
         else fallbackCache.getOrElse {
           val computed = source match {
             case Some((counts, cap, countCol)) =>
+              log.warn(s"[$label] guard metrics were pruned from the executed " +
+                "plan (empty result); recomputing the bucket-count aggregation " +
+                "from full lineage — this re-runs the operator's input scan")
               val r = counts.agg(
                 coalesce(sum(col(countCol)), lit(0L)).as("total_rows"),
                 coalesce(sum(when(col(countCol) > cap, col(countCol)).otherwise(0L)), lit(0L))
@@ -105,26 +113,125 @@ object Guard {
 
   def observation(label: String): GuardObservation = new GuardObservation(label)
 
+  private def dropAggs(countCol: String, cap: Int) = Seq(
+    coalesce(sum(col(countCol)), lit(0L)).as("total_rows"),
+    coalesce(sum(when(col(countCol) > cap, col(countCol)).otherwise(0L)), lit(0L))
+      .as("dropped_rows"),
+    count(lit(1)).as("buckets"),
+    coalesce(sum(when(col(countCol) > cap, 1L).otherwise(0L)), lit(0L))
+      .as("dropped_buckets"))
+
   /** Attach the drop metrics to the guard's bucket-count aggregation
     * (the `groupBy(bucket).count()` every guarded op already computes).
     * One CollectMetrics node on an existing tiny intermediate — no extra
     * job, no extra shuffle.
+    *
+    * Telemetry is DEFAULT-ON: with no explicit `obs`, the metrics node is
+    * attached under an auto-generated name and a once-per-session
+    * QueryExecutionListener reads it after whatever action the CALLER
+    * eventually runs — a lossy run WARNs (and lands in the drop ledger)
+    * with zero caller cooperation. An explicit `obs` additionally gives
+    * the caller blocking reads + the AQE-pruned-plan recompute fallback.
     */
   private[ops] def observeDrops(bucketCounts: DataFrame,
       obs: Option[GuardObservation], cap: Int,
-      countCol: String = "count"): DataFrame = obs match {
-    case Some(o) =>
-      o.attached = true
-      o.source = Some((bucketCounts, cap, countCol))
-      bucketCounts.observe(o.obs,
-        coalesce(sum(col(countCol)), lit(0L)).as("total_rows"),
-        coalesce(sum(when(col(countCol) > cap, col(countCol)).otherwise(0L)), lit(0L))
-          .as("dropped_rows"),
-        count(lit(1)).as("buckets"),
-        coalesce(sum(when(col(countCol) > cap, 1L).otherwise(0L)), lit(0L))
-          .as("dropped_buckets"))
-    case None => bucketCounts
+      countCol: String = "count", label: String = "guard"): DataFrame = {
+    ensureListener(bucketCounts.sparkSession)
+    val aggs = dropAggs(countCol, cap)
+    obs match {
+      case Some(o) =>
+        o.attached = true
+        o.source = Some((bucketCounts, cap, countCol))
+        bucketCounts.observe(o.obs, aggs.head, aggs.tail: _*)
+      case None =>
+        bucketCounts.observe(
+          s"graft_guard_${label}_${ids.incrementAndGet()}", aggs.head, aggs.tail: _*)
+    }
   }
+
+  // ---- default-on telemetry: session listener + drop ledger -----------------
+
+  /** Worst observed drop stats per guard label since the last drain:
+    * label -> (total_rows, dropped_rows) of the lossiest observation.
+    */
+  private val ledger =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Read-and-clear the drop ledger (fractions per guard label). The
+    * QueryExecutionListener bus is ASYNC — callers reading right after an
+    * action should allow a moment for delivery (graft.Bench sleeps 2 s
+    * after its battery before draining).
+    */
+  def drainDropLedger(): Map[String, Double] = {
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    val it = ledger.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (t, d) = e.getValue
+      out(e.getKey) = if (t == 0L) 0.0 else d.toDouble / t
+      it.remove()
+    }
+    out.toMap
+  }
+
+  /** graft_guard_<label>_<n> → <label> */
+  private def labelOf(metricName: String): String =
+    metricName.stripPrefix("graft_guard_").replaceAll("_[0-9]+$", "")
+
+  private val listenedSessions = java.util.Collections.newSetFromMap(
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
+  /** Register the guard-metrics listener once per session. Reads
+    * `qe.observedMetrics` (already materialized by the action — no job),
+    * so its cost is O(#metrics) per query.
+    */
+  def ensureListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (listenedSessions.add(spark))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val observed = qe.observedMetrics
+            observed.foreach { case (name, row) =>
+              if (name.startsWith("graft_guard_")) {
+                val total = row.getAs[Long]("total_rows")
+                val dropped = row.getAs[Long]("dropped_rows")
+                val lbl = labelOf(name)
+                ledger.merge(lbl, (total, dropped), (a, b) => {
+                  def frac(x: (Long, Long)) =
+                    if (x._1 == 0L) 0.0 else x._2.toDouble / x._1
+                  if (frac(b) >= frac(a)) b else a
+                })
+                if (dropped > 0L)
+                  log.warn(f"[$lbl] recall guard dropped " +
+                    f"${100.0 * dropped / math.max(1L, total)}%.1f%% of candidate rows " +
+                    f"($dropped of $total; ${row.getAs[Long]("dropped_buckets")} of " +
+                    f"${row.getAs[Long]("buckets")} buckets over cap) — grow the " +
+                    "bucket keyspace (planes/blocks) or the cap for this corpus size")
+              }
+            }
+            // a guard metric present in the analyzed plan but absent from
+            // the observed set means AQE's empty-relation propagation pruned
+            // the guarded subtree — i.e. the result was EMPTY, the
+            // all-buckets-dropped catastrophe (or a genuinely empty input).
+            // distinct: the pair self-joins repeat the guarded subtree, so
+            // the same CollectMetrics name appears twice in the analyzed plan
+            qe.analyzed.collect {
+              case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+                  if c.name.startsWith("graft_guard_") && !observed.contains(c.name) =>
+                c.name
+            }.distinct.foreach { name =>
+              log.warn(s"[${labelOf(name)}] guard metrics were pruned from the " +
+                "executed plan (empty result — all buckets dropped, or empty " +
+                "input); re-run with an explicit GuardObservation for exact counts")
+            }
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
 
   /** LSH plane count sized to the corpus: smallest p with expected bucket
     * occupancy n/2^p ≤ targetBucket. Keep targetBucket well under the

@@ -214,7 +214,7 @@ object Similarity {
     // knob (see bucketedNeighborsAuto), and `obs` reports what the cap
     // actually dropped
     val small = Guard.observeDrops(bucketed.groupBy(col("bucket")).count(),
-        obs, maxBucket)
+        obs, maxBucket, label = "bucketedNeighbors")
       .filter(col("count") <= maxBucket).select("bucket")
     val guarded = bucketed.join(small, Seq("bucket"))
     val a = guarded.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))

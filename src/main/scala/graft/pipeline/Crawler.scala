@@ -128,6 +128,21 @@ final class Crawler(
     spark.createDataFrame(rules).toDF("host", "__disallow")
   }
 
+  /** Free a localCheckpoint'ed frame's blocks NOW. `Dataset.unpersist()`
+    * is a no-op on a checkpointed frame — its plan is a `LogicalRDD`
+    * that was never registered with the CacheManager — so without this
+    * the blocks are reclaimed only when the ContextCleaner notices the
+    * RDD is garbage (GC-latency-bound on long crawls with large rounds).
+    * Only call once every consumer has materialized: a localCheckpoint'ed
+    * RDD cannot recompute, so a later read of the frame fails loudly
+    * (resume covers that, same contract as a lost checkpoint block).
+    * Non-checkpointed frames have no `LogicalRDD` leaf → no-op.
+    */
+  private def dropCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Robots disallow filter: left-join the rules, drop candidates whose
     * path starts with any disallowed prefix (no rules → allowed).
     */
@@ -159,6 +174,14 @@ final class Crawler(
   private var stateAcc: Option[DataFrame] = None
   private var lastStateCount: Long = 0L
   private var nextSeqAcc: Long = 0L
+  // observed fetched-row counter, bumped by the fetch stage's executors;
+  // commitRound sizes the docs table's write fan-out from the ROUND DELTA
+  // of this instead of assuming every frontier row fetched (sizedForWrite
+  // otherwise overshoots file count when failure rates are high). An
+  // estimate only: a recomputed outcome partition double-counts — fine
+  // for file sizing, never used for correctness.
+  private val fetchedAcc = spark.sparkContext.longAccumulator("graft.fetched.rows")
+  private var fetchedPrev: Long = 0L
   private val collapseEvery = config.collapseEvery
   private val seenP = spark.sessionState.conf.numShufflePartitions
 
@@ -273,10 +296,14 @@ final class Crawler(
       Sequencer.addSeq(fresh, Seq(col("ord0"), col("ord1")), "seq", seqStart)
     }
     fresh.unpersist() // seqCache is materialized by addSeq's count pass
-    // the consumed candidates cache (last round's materializedNext) has
-    // flowed into seqCache — drop it now instead of leaking one cached
-    // frame per round
+    // the consumed candidates frame (last round's materializedNext, a
+    // localCheckpoint) has flowed into the now-materialized seqCache —
+    // free its checkpoint blocks now instead of waiting for the
+    // ContextCleaner (Dataset.unpersist alone is a no-op here; see
+    // dropCheckpoint). Round-0 seed candidates carry no checkpoint and
+    // fall through both calls harmlessly.
     candidates.unpersist()
+    dropCheckpoint(candidates)
     val sequenced = sequencedRaw // host column flows from the candidate stage
 
     val frontier = sequenced.select(
@@ -374,9 +401,16 @@ final class Crawler(
     }
     bankAcc = Some(mergedBank)
 
-    if (config.persistRounds)
+    if (config.persistRounds) {
+      // the round's observed fetched-row count (outcome is fully
+      // materialized by the host-state count above, so the accumulator
+      // already carries this round's adds)
+      val fetchedDelta = math.max(0L, fetchedAcc.value - fetchedPrev)
+      fetchedPrev = fetchedAcc.value
       commitRound(round, frontier, results, newState,
-        seqStart + frontierCount, frontierCount)
+        seqStart + frontierCount, frontierCount,
+        if (fetchedDelta > 0) fetchedDelta else frontierCount)
+    }
 
     // bound the seen chain: collapse into one partitioned cache every
     // `collapseEvery` rounds (plan depth + per-round join fan-in stay O(1)).
@@ -395,7 +429,10 @@ final class Crawler(
         c.count()
         c
       }
-      seenParts.foreach(_.unpersist())
+      // each chain part layers persist over a localCheckpoint: unpersist
+      // drops the cached copy, dropCheckpoint frees the checkpoint blocks
+      // underneath (the collapsed frame re-checkpointed all of it above)
+      seenParts.foreach { p => p.unpersist(); dropCheckpoint(p) }
       seenParts = Vector(collapsed)
       val rebuilt = DistBloomBank.buildRound(collapsed, "canon",
         config.seenPartitions, config.bloomExpectedPerPartition, config.bloomFpp).persist()
@@ -413,7 +450,11 @@ final class Crawler(
     val nextCount = timed(s"r$round next-candidates") { materializedNext.count() }
     val oldState = stateAcc
     stateAcc = Some(mergedState)
-    oldState.foreach(_.unpersist())
+    // the replaced state is either a resume-time persist (unpersist works)
+    // or last round's localCheckpoint (needs dropCheckpoint) — mergedState
+    // was eagerly counted above, so its blocks are fully materialized and
+    // the old frame has no remaining consumer
+    oldState.foreach { s => s.unpersist(); dropCheckpoint(s) }
     nextSeqAcc = seqStart + frontierCount
     outcome.unpersist()
     seqCache.unpersist()
@@ -497,6 +538,7 @@ final class Crawler(
 
     val rb = robotsB; val cb = cfgB; val f = fetcher; val r = round
     val retain = retainContent
+    val facc = fetchedAcc
     parted.mapPartitions { it =>
       val cfg = cb.value
       val robots = rb.value
@@ -517,6 +559,7 @@ final class Crawler(
         val row = if (status == "fetched") {
           PageParser.parse(html, e.canonUrl, cfg.maxCommentPages) match {
             case Some(parsed) =>
+              facc.add(1L)
               if (retain)
                 FetchParseRow(r, e.seq, e.url, e.canonUrl, e.host, e.keyword, "fetched",
                   attempts, parsed.title, parsed.author,
@@ -577,12 +620,16 @@ final class Crawler(
 
   private def commitRound(round: Int, frontier: Dataset[FrontierEntry],
       results: Dataset[FetchParseRow], roundStateDelta: DataFrame,
-      nextSeq: Long, frontierCount: Long): Unit = {
+      nextSeq: Long, frontierCount: Long, fetchedCount: Long): Unit = {
+    // docs holds only status='fetched' rows, so it is sized by the round's
+    // OBSERVED fetched count (executor accumulator), not the frontier
+    // count — under high failure rates the two diverge and the frontier
+    // count would overshoot the file fan-out
     val docs = sizedForWrite(results.filter($"status" === "fetched")
       .select($"round", $"seq", $"canonUrl".as("doc_id"), $"url", $"host".as("site"),
         $"keyword", $"title", $"author", $"created_at", $"view_count", $"like_count",
         $"spans", $"outlinks", $"comments"),
-      frontierCount, rowsPerFile = 8000L) // fat rows (~16 KB) → ~128 MB files
+      fetchedCount, rowsPerFile = 8000L) // fat rows (~16 KB) → ~128 MB files
     val crawlLog = sizedForWrite(results.select($"round", $"seq", $"url", $"canonUrl",
       $"host", $"status", $"attempts"), frontierCount, rowsPerFile = 500000L)
     val seen = sizedForWrite(frontier.select($"round", $"seq", $"canonUrl", $"host"),

@@ -316,6 +316,43 @@ class OpsSpec extends SparkSpec {
     assert(capless.totalRows == 0L && capless.droppedFraction == 0.0)
   }
 
+  test("guard telemetry is default-on: drop ledger records a lossy run with NO caller opt-in") {
+    Guard.drainDropLedger() // clear anything earlier tests left behind
+    // partial-drop corpus: one hub shingle shared by ALL docs (df=40,
+    // over the cap → dropped) plus per-pair group shingles under the cap —
+    // the result stays NON-empty, so AQE does not prune the metrics node
+    // (an all-dropped empty result loses the observation to empty-relation
+    // propagation and is covered by the pruned-plan WARN instead)
+    val hubDocs = spark.range(40).select(
+      $"id".cast("string").as("doc_id"),
+      concat(lit("hub hub w"), ($"id" / 2).cast("long").cast("string"),
+        lit("a w"), ($"id" / 2).cast("long").cast("string"),
+        lit("b end")).as("text"))
+    assert(Dedup.ngramJaccardPairs(hubDocs, shingleW = 2, threshold = 0.3,
+      maxDf = 10).count() > 0)
+    // the QueryExecutionListener bus is async
+    val deadline = System.currentTimeMillis() + 15000
+    var drops = Map.empty[String, Double]
+    while (!drops.contains("ngramJaccardPairs") && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      drops = drops ++ Guard.drainDropLedger()
+    }
+    assert(drops.contains("ngramJaccardPairs"),
+      s"default-on guard telemetry never reached the ledger: $drops")
+    assert(drops("ngramJaccardPairs") > 0.0)
+
+    // healthy default run records a zero-drop entry (telemetry on, no loss)
+    assert(Dedup.ngramJaccardPairs(hubDocs, shingleW = 2, threshold = 0.3,
+      maxDf = 1000).count() > 0)
+    val deadline2 = System.currentTimeMillis() + 15000
+    var drops2 = Map.empty[String, Double]
+    while (!drops2.contains("ngramJaccardPairs") && System.currentTimeMillis() < deadline2) {
+      Thread.sleep(200)
+      drops2 = drops2 ++ Guard.drainDropLedger()
+    }
+    assert(drops2.get("ngramJaccardPairs").contains(0.0), s"got $drops2")
+  }
+
   test("undersized geometry fails loudly; auto-sized planes keep recall") {
     // simhash block keyspace is fixed (2^16 at maxHamming=3): a 10^10-doc
     // corpus guarantees the average bucket exceeds the cap → hard error,
