@@ -395,8 +395,10 @@ object SparkEntry {
       val media = graft.ops.Multimodal.mediaTable(s, docs)
       // the feature vector is serialized to a scalar (array cells can't be
       // hashed/ordered by the driver): milli-scaled ints, exactly
-      // reproducible driver-side for the VALUES oracle (the stub features
-      // are integer/1000 floats, so *1000 + round is lossless)
+      // reproducible driver-side for the VALUES oracle (features are
+      // non-negative by construction, where SQL round's HALF_UP and the
+      // oracle's Math.round agree; image/audio features come from REAL
+      // PPM/WAV decodes of the asset bytes — see Multimodal.decode)
       graft.ops.Multimodal.extractFeatures(s, media, partitions = 8)
         .toDF()
         .withColumn("feature_milli",
@@ -475,6 +477,16 @@ object SparkEntry {
           0.1, relativeError = 0.0)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
+    }),
+    "q48_simhash128_pairs" -> ((s, d) => {
+      // the 128-bit SimHash scale path (the geometry simhashDupPairsAuto
+      // switches to past ~650M docs — twice the block-keyspace exponent,
+      // ceiling ~4·10^13): engine FNV two-stream signatures, 4 blocks of
+      // 32 bits, 10k guard. The oracle recomputes (sig_hi, sig_lo)
+      // driver-side into VALUES and mirrors the blocking in SQL (q41
+      // pattern, two-limb popcount for the hamming verify).
+      graft.ops.Dedup.simhashDupPairs128(rt(s, d, "documents"), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
     }),
   )
 
@@ -1001,9 +1013,12 @@ object SparkEntry {
           .map(p => (canon, p.spans))
       }.distinct.flatMap { case (canon, spans) =>
         spans.filter(_.kind == "media").map { sp =>
-          val f = graft.ops.Multimodal.decodeStub(
+          // same real decode as the Spark side, over the same deterministic
+          // asset bytes (PPM/WAV for image/audio; stub for video/binary)
+          val f = graft.ops.Multimodal.decode(
             graft.ops.MediaAsset(sp.media_ref, canon,
-              graft.ops.Multimodal.kindOf(sp.media_ref), Array.emptyByteArray))
+              graft.ops.Multimodal.kindOf(sp.media_ref),
+              graft.ops.Multimodal.fakeBytes(sp.media_ref)))
           val milli = f.feature.map(v => Math.round(v.toDouble * 1000).toInt).mkString(",")
           s"(${sqlLit(f.media_id)}, ${sqlLit(f.doc_id)}, ${sqlLit(f.kind)}, " +
             s"${f.width}, ${f.height}, ${sqlLit(f.format)}, ${f.n_frames}, ${sqlLit(milli)})"
@@ -1040,6 +1055,33 @@ object SparkEntry {
           ORDER BY a, b"""
     }
 
+    val q48 = entry("q48_simhash128_pairs") {
+      val rows = readDocsForOracle().map { case (id, text) =>
+        val (hi, lo) = if (text == null) (0L, 0L)
+          else graft.ops.Dedup.simhash128(text.split(" ").toSeq)
+        s"($id, CAST($hi AS BIGINT), CAST($lo AS BIGINT))"
+      }.mkString(", ")
+      // block layout mirrors bits128(width=32): q0/q1 from lo, q2/q3 from
+      // hi. DuckDB's >> on BIGINT may sign-extend — the & 4294967295 mask
+      // keeps only the 32 low bits either way, matching shiftrightunsigned.
+      s"""WITH sigs(doc_id, hi, lo) AS (VALUES $rows),
+          keyed AS (
+            SELECT doc_id, 0 AS q, (lo >> 0)  & 4294967295 AS key FROM sigs UNION ALL
+            SELECT doc_id, 1 AS q, (lo >> 32) & 4294967295 AS key FROM sigs UNION ALL
+            SELECT doc_id, 2 AS q, (hi >> 0)  & 4294967295 AS key FROM sigs UNION ALL
+            SELECT doc_id, 3 AS q, (hi >> 32) & 4294967295 AS key FROM sigs),
+          small AS (SELECT q, key FROM keyed GROUP BY q, key HAVING count(*) <= 10000),
+          guarded AS (SELECT k.* FROM keyed k JOIN small USING (q, key)),
+          cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                   FROM guarded a JOIN guarded b
+                     ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT c.a, c.b,
+                 CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo)) AS INT) AS hamming
+          FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
+          WHERE bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo)) <= 3
+          ORDER BY a, b"""
+    }
+
     val q44 = entry("q44_ivf_topk") {
       val dim = 64
       val cs = graft.ops.Similarity.ivfCentroids(dim, 16, 42L)
@@ -1059,6 +1101,6 @@ object SparkEntry {
           FROM c ORDER BY cos DESC, vec_id LIMIT 10"""
     }
 
-    (q28 ++ q33 ++ q34 ++ q38 ++ q41 ++ q44).toMap
+    (q28 ++ q33 ++ q34 ++ q38 ++ q41 ++ q44 ++ q48).toMap
   }
 }

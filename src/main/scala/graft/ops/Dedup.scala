@@ -285,6 +285,153 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- 128-bit SimHash (scale path past the 64-bit keyspace ceiling) -------
+
+  /** Second independent FNV-1a stream for the 128-bit signature: same
+    * prime, offset basis XOR'ed with the 64-bit golden-ratio constant.
+    * "Independent" here needs only per-token bit-pattern decorrelation
+    * between the two streams (each signature bit is a majority vote over
+    * its own stream's bit), which a distinct basis provides — the classic
+    * multi-hash construction, no second hash family required.
+    */
+  private[ops] def hash64b(s: String): Long = {
+    var h = 0xcbf29ce484222325L ^ 0x9e3779b97f4a7c15L
+    var i = 0
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 128-bit SimHash as (hi, lo): bits 0-63 vote on the primary FNV
+    * stream (identical votes to the 64-bit `simhash` — `lo` EQUALS
+    * `simhash(tokens)`), bits 64-127 on the second stream. Doubling the
+    * signature doubles the per-block keyspace exponent: at maxHamming=3
+    * the blocks go 16→32 bits wide, lifting the average-bucket recall
+    * ceiling from ~maxBucket·2^16 (~650M docs at the 10k cap) to
+    * ~maxBucket·2^32 (~4·10^13) — the scale-out the 64-bit geometry
+    * fundamentally cannot reach (see simhashDupPairs scaladoc).
+    */
+  def simhash128(tokens: Seq[String]): (Long, Long) = {
+    val acc = new Array[Int](128)
+    tokens.foreach { t =>
+      val h1 = graft.core.UrlCanon.hash64(t)
+      val h2 = hash64b(t)
+      var i = 0
+      while (i < 64) { if (((h1 >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+      while (i < 128) { if (((h2 >>> (i - 64)) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+    }
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) lo |= (1L << i); i += 1 }
+    while (i < 128) { if (acc(i) > 0) hi |= (1L << (i - 64)); i += 1 }
+    (hi, lo)
+  }
+  private val simhash128U = udf((text: String) =>
+    if (text == null) (0L, 0L) else simhash128(text.split(" ").toSeq))
+
+  /** Engine 128-bit signatures: (doc_id, sig_hi, sig_lo) — one scan, same
+    * cost shape as simhashFnvSigs (two FNV streams fused in one pass).
+    */
+  def simhashFnv128Sigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash128U(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("sig_hi"), col("s._2").as("sig_lo"))
+
+  private def mask64(n: Int): Long = if (n >= 64) -1L else (1L << n) - 1
+
+  /** Bits [start, start+w) of the 128-bit value (hi«64)|lo, as a long. */
+  private def bits128(hi: Column, lo: Column, start: Int, w: Int): Column = {
+    require(w >= 1 && w <= 64 && start >= 0 && start + w <= 128,
+      s"bad 128-bit slice [$start, ${start + w})")
+    if (start >= 64)
+      shiftrightunsigned(hi, start - 64).bitwiseAND(lit(mask64(w)))
+    else if (start + w <= 64)
+      shiftrightunsigned(lo, start).bitwiseAND(lit(mask64(w)))
+    else { // slice straddles the hi/lo boundary
+      val loBits = 64 - start
+      shiftrightunsigned(lo, start).bitwiseOR(
+        shiftleft(hi.bitwiseAND(lit(mask64(w - loBits))), loBits))
+    }
+  }
+
+  /** 128-bit SimHash near-dup pairs — same pigeonhole blocking, guard and
+    * popcount verify as `simhashDupPairs`, over (sig_hi, sig_lo)
+    * signatures. Hamming is measured on the 128-bit signature, so the
+    * pair set is not bit-identical to the 64-bit operator's (a different
+    * signature is the point); the planted-dup recall contract is the same
+    * and is pinned by OpsSpec. Requires maxHamming ≥ 1 (one block cannot
+    * carry 128 bits in a long key).
+    */
+  def simhashDupPairs128(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      signatures: DataFrame => DataFrame = simhashFnv128Sigs(_),
+      corpusSize: Long = -1L,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
+    val bits = 128
+    val nBlocks = maxHamming + 1
+    require(nBlocks >= 2 && nBlocks <= bits,
+      s"simhashDupPairs128 needs 1 <= maxHamming <= ${bits - 1}, got $maxHamming")
+    val width = bits / nBlocks
+    Guard.warnIfUndersized("simhashDupPairs128", corpusSize,
+      math.pow(2.0, width), maxBucket)
+    val sigs = signatures(docs)
+    val blocks = (0 until nBlocks).map { q =>
+      val loBit = q * width
+      val w = if (q == nBlocks - 1) bits - loBit else width
+      struct(lit(q).as("q"),
+        bits128(col("sig_hi"), col("sig_lo"), loBit, math.min(w, 64)).as("key"))
+    }
+    // same exchange-sharing + anti-coalesce repartition as the 64-bit path
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = sigs
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), explode(array(blocks: _*)).as("bk"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        col("bk.q").as("q"), col("bk.key").as("key"))
+      .repartition(p, col("q"), col("key"))
+    val small = Guard.observeDrops(keyed.groupBy(col("q"), col("key")).count(),
+        obs, maxBucket, label = "simhashDupPairs128")
+      .filter(col("count") <= maxBucket).select(col("q"), col("key"))
+    val guarded = keyed.join(small, Seq("q", "key"))
+    val a = guarded.select(col("q"), col("key"), col("doc_id").as("a"),
+      col("sig_hi").as("ha"), col("sig_lo").as("la"))
+    val b = guarded.select(col("q"), col("key"), col("doc_id").as("b"),
+      col("sig_hi").as("hb"), col("sig_lo").as("lb"))
+    a.join(b, Seq("q", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Corpus-aware SimHash near-dup (mirrors embeddingDupPairsAuto): counts
+    * the corpus once and runs the cheapest signature whose block keyspace
+    * holds it under the guard with `headroom` to spare — the 64-bit
+    * single-stream path up to ~maxBucket·2^(64/(maxHamming+1))/headroom
+    * docs, the 128-bit path beyond (whose own hard ceiling ~maxBucket·2^32
+    * at maxHamming=3 is re-checked by warnIfUndersized). `assumeCorpusSize`
+    * (when > 0) skips the count and sizes geometry for that many docs —
+    * for pipelines that know their scale up front, and for tests that pin
+    * the switchover without materializing 10^9 rows.
+    */
+  def simhashDupPairsAuto(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000, headroom: Int = 8,
+      assumeCorpusSize: Long = -1L,
+      obs: Option[Guard.GuardObservation] = None): DataFrame = {
+    val n = if (assumeCorpusSize > 0) assumeCorpusSize else docs.count()
+    val w64 = 64 / (maxHamming + 1)
+    val fits64 = n.toDouble / math.pow(2.0, w64) <= maxBucket.toDouble / headroom
+    if (fits64)
+      simhashDupPairs(docs, maxHamming, bits = 64, maxBucket = maxBucket,
+        corpusSize = n, obs = obs)
+    else
+      simhashDupPairs128(docs, maxHamming, maxBucket = maxBucket,
+        corpusSize = n, obs = obs)
+  }
+
   // ---- embedding cosine near-dup ----------------------------------------------------
 
   /** Cosine similarity of two float-array columns as a pure Catalyst

@@ -245,7 +245,30 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("multimodal plumbing: media table from spans, stubbed features, frame sampling") {
+  test("multimodal: real PPM/WAV decode round-trips; media table decodes actual bytes") {
+    // PPM round-trip: deterministic encoder → parser recovers the header
+    // dims and full raster
+    val ppm = Multimodal.ppmBytes("http://cdn.example/img42.jpg")
+    val (w, h, px) = Multimodal.decodePpm(ppm)
+    assert(w >= 8 && w < 32 && h >= 6 && h < 24 && px.length == w * h * 3)
+    // header tolerance: comments and extra whitespace are legal PPM
+    val commented = "P6\n# a comment\n 2  1\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ Array.fill[Byte](6)(7)
+    assert(Multimodal.decodePpm(commented) ._1 == 2)
+    intercept[IllegalArgumentException] { Multimodal.decodePpm("P5\n1 1\n255\n0".getBytes) }
+
+    // WAV round-trip: RIFF/PCM16 mono parsed back to rate + samples
+    val wav = Multimodal.wavBytes("http://cdn.example/clip.mp3")
+    val (rate, samples) = Multimodal.decodeWav(wav)
+    assert(rate == 8000 && samples.length >= 64 && samples.length < 256)
+    val audioFeat = Multimodal.decode(
+      MediaAsset("http://cdn.example/clip.mp3", "d", "audio", wav))
+    assert(audioFeat.format == "wav" && audioFeat.width == 8000 &&
+      audioFeat.height == samples.length &&
+      audioFeat.feature.length == 16 && audioFeat.feature.forall(v => v >= 0f && v <= 1f))
+
+    // pipeline: media table from spans (fixture refs are all .jpg →
+    // images), features come from REAL decodes of the PPM bytes
     val fixtureDocs = (0 until 100).flatMap { i =>
       val canon = graft.core.UrlCanon.canonicalize(
         graft.fixtures.Fixtures.cleanUrl(graft.fixtures.Fixtures.Hosts(i % 12), i % 4, i))
@@ -260,8 +283,14 @@ class OpsSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(spark, media, partitions = 4).cache()
     assert(feats.count() == media.count())
     val f = feats.head()
-    assert(f.feature.length == 16 && f.width >= 64 && f.format == "jpeg")
-    // deterministic stub
+    assert(f.format == "ppm" && f.width >= 8 && f.width < 32 && f.n_frames == 1)
+    assert(f.feature.length == 16 && f.feature.forall(v => v >= 0f && v <= 1f))
+    // dims must MATCH the asset bytes, not a hash of the id (proof the
+    // decode actually reads the raster)
+    val oneAsset = media.filter(col("media_id") === f.media_id).head()
+    val (pw, ph, _) = Multimodal.decodePpm(oneAsset.bytes)
+    assert(f.width == pw && f.height == ph)
+    // deterministic across partitioning
     val feats2 = Multimodal.extractFeatures(spark, media, partitions = 2)
     assert(feats2.orderBy("media_id", "doc_id").collect().toSeq ==
       feats.orderBy("media_id", "doc_id").collect().toSeq)
@@ -351,6 +380,46 @@ class OpsSpec extends SparkSpec {
       drops2 = drops2 ++ Guard.drainDropLedger()
     }
     assert(drops2.get("ngramJaccardPairs").contains(0.0), s"got $drops2")
+  }
+
+  test("simhash128: lo limb equals the 64-bit signature; auto path keeps recall past the 64-bit ceiling") {
+    // limb identity: bits 0-63 of the 128-bit signature vote on the SAME
+    // primary FNV stream as the 64-bit operator, so lo == simhash(tokens)
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val (hi, lo) = Dedup.simhash128(toks)
+    assert(lo == Dedup.simhash(toks))
+    assert(hi != lo) // second stream decorrelated from the first
+
+    // geometry: 10^10 docs overflow the 64-bit block keyspace (2^16 at
+    // maxHamming=3 → guaranteed collapse → throw) but sit comfortably in
+    // the 128-bit one (2^32 per block → average bucket ≈ 2.3)
+    val sample = docs.limit(10).select($"doc_id", $"text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairs(sample, maxHamming = 3, corpusSize = 10000000000L)
+    }
+    Dedup.simhashDupPairs128(sample, maxHamming = 3,
+      corpusSize = 10000000000L).count() // must NOT throw
+
+    // planted recall on the geometry simhashDupPairsAuto picks for a
+    // corpus past the 64-bit threshold: every exact copy found (hamming 0)
+    val base = docs.limit(200).select($"doc_id", $"text")
+    val planted = base.filter($"doc_id" < 50)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val all = base.union(planted).cache()
+    val got128 = Dedup.simhashDupPairsAuto(all, maxHamming = 3,
+        assumeCorpusSize = 10000000000L)
+      .filter($"hamming" === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0L until 50L).map(i => (i, i + 100000)).toSet
+    assert(wanted.subsetOf(got128), s"missing ${wanted -- got128}")
+
+    // small-corpus branch: auto (real count) must take the cheaper 64-bit
+    // path and reproduce the 64-bit operator's pair set exactly
+    val autoSmall = Dedup.simhashDupPairsAuto(all, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct64 = Dedup.simhashDupPairs(all, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(autoSmall == direct64)
   }
 
   test("undersized geometry fails loudly; auto-sized planes keep recall") {
