@@ -97,10 +97,14 @@ object Bench {
     val cold = coldIndexes.map("\"" + _ + "\"").mkString("[", ",", "]")
     // idle reference for the in-run flags: the better of the two bracketing
     // probes ("before" can read low when JVM startup work is still
-    // settling). local[$cpus] fully subscribes this box, so the margins are
+    // settling), FLOORED at the clean-host band — when both bracketing
+    // probes are themselves burst-depressed, flagging against them lets a
+    // fully-noisy window self-approve (see NoiseSampler.CleanHostFloor).
+    // local[$cpus] fully subscribes this box, so the margins are
     // the loose full-subscription ones (see NoiseSampler.flaggedVsIdle) —
     // clean-host self-squeeze measured: median 0.96×idle, p25 0.69×idle.
-    val idleRef = math.max(spinBefore, spinAfter)
+    val idleRef = math.max(math.max(spinBefore, spinAfter),
+      graft.tools.NoiseSampler.CleanHostFloor)
     val batteryFlag = batteryNoise.flaggedVsIdle(idleRef, medianFrac = 0.80, p25Frac = 0.50)
     val crawlFlag = crawlNoise.flaggedVsIdle(idleRef, medianFrac = 0.80, p25Frac = 0.50)
     println(s"""{"metric":"urls_fetched_deduped_per_sec","value":$urlsPerSec,"unit":"urls/sec",""" +

@@ -52,6 +52,18 @@ final class NoiseSampler(periodMs: Long = 5000, probeMs: Long = 200) {
 }
 
 object NoiseSampler {
+  /** Clean-host floor for the idle reference (iterations/sec). The
+    * register-spin probe on this box reads ~700-800 M/s whenever the host
+    * is actually idle (measured across four rounds of bracketing probes);
+    * a bracketing probe BELOW this band means the "idle" measurement
+    * itself ate a burst — flagging against it would let a fully-noisy
+    * window self-approve (observed: a crawl with in-run median 514 M/s
+    * passed because its bracketing probes read 204/339). Callers floor
+    * their idleRef at this constant so the flag criteria never reference
+    * a depressed baseline.
+    */
+  val CleanHostFloor: Double = 700e6
+
   /** min/p25/median in iterations/sec (divide by 1e6 for the M/s the
     * bracketing probes print).
     *

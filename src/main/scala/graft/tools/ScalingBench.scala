@@ -197,8 +197,10 @@ object ScalingBench {
     val loNoise = runs.filter(_._1 == lo).minBy(_._2)._4
     val hiNoise = runs.filter(_._1 == hi).minBy(_._2)._4
     def spread(xs: Seq[Double]): Double = if (xs.isEmpty) 1.0 else xs.max / xs.min
-    val loFlag = loNoise.flaggedVsIdle(spdLo.max)
-    val hiFlag = hiNoise.flaggedVsIdle(spdHi.max)
+    // idleRef floored at the clean-host band: depressed bracketing probes
+    // must tighten the verdict, never loosen it (NoiseSampler.CleanHostFloor)
+    val loFlag = loNoise.flaggedVsIdle(math.max(spdLo.max, NoiseSampler.CleanHostFloor))
+    val hiFlag = hiNoise.flaggedVsIdle(math.max(spdHi.max, NoiseSampler.CleanHostFloor))
     val contaminated = loFlag || hiFlag
 
     val thrLo = urls / loSec
@@ -228,8 +230,14 @@ object ScalingBench {
     // garbage in the OTHER direction from r4's 2.19).
     val ratiosPlausible = clockRatio >= 0.95 && clockRatio <= 1.5 &&
       memRatio >= 0.95 && memRatio <= 4.0
+    // a spin-probe pair spread wide across reps at one level means one of
+    // the probes ate a burst: the level's AVERAGE (which feeds clockRatio)
+    // is then part-burst, and the "correction" divides by noise — the
+    // round-5 0.804 record published envelope 2.226 exactly this way
+    // (probe_spread_hi 1.355). The raw value never uses the probes.
+    val probesSymmetric = spread(spdLo.toSeq) <= 1.15 && spread(spdHi.toSeq) <= 1.15
     val effEnvelope =
-      if (contaminated || !ratiosPlausible) "null"
+      if (contaminated || !ratiosPlausible || !probesSymmetric) "null"
       else f"${eff * math.max(clockRatio, memRatio)}%.3f"
     println(f"""{"metric":"crawl_scaling_efficiency","value":$eff%.3f,""" +
       s""""envelope_normalized_efficiency":$effEnvelope,""" +

@@ -62,6 +62,9 @@ for attempt in $(seq 1 "$MAX_S"); do
 done
 
 best_crawl=0
+if [ -f /root/repo/BENCH_r05_builder.json ]; then
+  best_crawl=$(grep -o '"value":[0-9.]*' /root/repo/BENCH_r05_builder.json | head -1 | cut -d: -f2)
+fi
 for attempt in $(seq 1 "$MAX_B"); do
   idle_gate
   log="/tmp/hunt2_b${attempt}.log"
