@@ -335,6 +335,13 @@ object TextOpsProps extends Properties("TextOps") {
       graft.ops.TextOps.rollingHash(t) == graft.ops.TextOps.rollingHash(t) &&
         graft.ops.TextOps.rollingHash(t + "x") != graft.ops.TextOps.rollingHash(t + "y")
     }
+  property("simhash128 lo limb equals the 64-bit signature; permutation-invariant") =
+    forAll(Gen.nonEmptyListOf(Gens.word), Gen.choose(0L, Long.MaxValue)) { (toks, s) =>
+      val (hi, lo) = graft.ops.Dedup.simhash128(toks)
+      val perm = new scala.util.Random(s).shuffle(toks)
+      lo == graft.ops.Dedup.simhash(toks) &&
+        (hi, lo) == graft.ops.Dedup.simhash128(perm)
+    }
 }
 
 /** Parser invariants over the synthetic grammar corpus
