@@ -48,6 +48,11 @@ object EnduranceBench {
     var round = 0
     var have = true
     val recs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // in-run noise samples: a 4-minute endurance run straddles the host's
+    // burst waves more often than not; per-round walls without a noise
+    // channel cannot distinguish lineage growth from a burst arriving
+    // mid-run (observed: late-round creep 11.8→19.3 s that was ambient)
+    val sampler = new NoiseSampler()
     val t0All = System.nanoTime()
     var prevScheduled = 0L
     while (round < rounds && have) {
@@ -66,10 +71,12 @@ object EnduranceBench {
       round += 1
     }
     val totalSec = (System.nanoTime() - t0All) / 1e9
+    val noise = sampler.stop()
     println(s"""{"metric":"endurance_rounds","rounds_run":$round,""" +
       f""""total_sec":$totalSec%.1f,"total_scheduled":${crawler.totalScheduled},""" +
       f""""urls_per_sec":${crawler.totalScheduled / totalSec}%.0f,""" +
       s""""collapse_every":$collapseEvery,"cores":$cores,"seeds":$nSeeds,""" +
+      s""""inrun_noise":${noise.json(noise.flaggedVsIdle(NoiseSampler.CleanHostFloor))},""" +
       s""""per_round":[${recs.mkString(",")}]}""")
     spark.stop()
   }
