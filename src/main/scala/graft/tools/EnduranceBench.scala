@@ -43,6 +43,19 @@ object EnduranceBench {
       bloomExpectedPerPartition = 2000000L, collapseEvery = collapseEvery,
       persistRounds = true)
 
+    // Untimed warm-up, same rule as ScalingBench: the first big run in a
+    // JVM/VM pays one-off JIT + lazy page-provisioning costs (tmpfs
+    // shuffle space, block-manager maps) that are not endurance signal —
+    // measured +28 s on round 0 alone in a cold JVM vs ~20 s warm. A
+    // 2-round throwaway crawl on a quarter of the seeds absorbs it.
+    {
+      val warmStore = java.nio.file.Files.createTempDirectory("graft-endurance-warm").toString
+      val warmCfg = cfg.copy(maxRounds = 2)
+      val warm = new graft.pipeline.Crawler(spark, warmCfg, warmStore)
+      warm.run(spark.range(math.max(1L, nSeeds / 4))
+        .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 2000000, nHosts = nHosts)))
+    }
+
     val crawler = new graft.pipeline.Crawler(spark, cfg, store)
     var candidates = crawler.seedCandidates(seeds)
     var round = 0
