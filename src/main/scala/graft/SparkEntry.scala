@@ -397,8 +397,8 @@ object SparkEntry {
       // hashed/ordered by the driver): milli-scaled ints, exactly
       // reproducible driver-side for the VALUES oracle (features are
       // non-negative by construction, where SQL round's HALF_UP and the
-      // oracle's Math.round agree; image/audio features come from REAL
-      // PPM/WAV decodes of the asset bytes — see Multimodal.decode)
+      // oracle's Math.round agree; every feature comes from a REAL decode
+      // of the asset bytes — PPM/WAV/Y4M, see Multimodal.decode)
       graft.ops.Multimodal.extractFeatures(s, media, partitions = 8)
         .toDF()
         .withColumn("feature_milli",
@@ -1014,7 +1014,7 @@ object SparkEntry {
       }.distinct.flatMap { case (canon, spans) =>
         spans.filter(_.kind == "media").map { sp =>
           // same real decode as the Spark side, over the same deterministic
-          // asset bytes (PPM/WAV for image/audio; stub for video/binary)
+          // asset bytes (PPM/WAV/Y4M for image/audio/video — no stubs)
           val f = graft.ops.Multimodal.decode(
             graft.ops.MediaAsset(sp.media_ref, canon,
               graft.ops.Multimodal.kindOf(sp.media_ref),

@@ -72,11 +72,28 @@ object Sentiment {
   private val acCacheMax = 64
   private val acCache =
     scala.collection.concurrent.TrieMap.empty[(Set[String], Set[String]), AhoCorasick]
+  // size tracked with a counter (TrieMap.size is O(n)); at capacity evict
+  // ONE arbitrary entry instead of clearing — a workload cycling 64+ live
+  // lexicon pairs degrades to one rebuild per new pair, not a full-cache
+  // rebuild every cycle. Races make the counter approximate; the bound
+  // only needs to hold within a few entries.
+  private val acCacheSize = new java.util.concurrent.atomic.AtomicInteger(0)
   private def acFor(pos: Set[String], neg: Set[String]): AhoCorasick =
     if ((pos eq PositiveLexicon) && (neg eq NegativeLexicon)) defaultAc
     else {
-      if (acCache.size >= acCacheMax) acCache.clear()
-      acCache.getOrElseUpdate((pos, neg), AhoCorasick.twoGroups(pos, neg))
+      val k = (pos, neg)
+      acCache.get(k) match {
+        case Some(a) => a
+        case None =>
+          if (acCacheSize.get >= acCacheMax)
+            acCache.headOption.foreach { case (ek, _) =>
+              if (acCache.remove(ek).isDefined) acCacheSize.decrementAndGet()
+            }
+          var built = false
+          val a = acCache.getOrElseUpdate(k, { built = true; AhoCorasick.twoGroups(pos, neg) })
+          if (built) acCacheSize.incrementAndGet()
+          a
+      }
     }
 
   /** (positive hits, negative hits) of a preprocessed text — one automaton

@@ -108,7 +108,14 @@ final case class CrawlConfig(
     bloomExpectedPerPartition: Long = 1000000L,
     bloomFpp: Double = 0.01,
     collapseEvery: Int = 8,       // seen-chain collapse + bank-rebuild cycle (rounds)
-    persistRounds: Boolean = true) // false = bench mode: no snapshot writes
+    persistRounds: Boolean = true, // false = bench mode: no snapshot writes
+    // Free localCheckpoint blocks eagerly once superseded (instead of
+    // waiting for the ContextCleaner). A localCheckpoint'ed RDD cannot
+    // recompute, so an eager free turns any later cache-block loss in a
+    // downstream persist()-only consumer into a hard job failure — safe
+    // only in single-JVM bench runs where no executor can be lost and the
+    // round ends before memory pressure can evict. Default OFF.
+    eagerCheckpointFree: Boolean = false)
 
 /** Per-round, per-partition fetch/dedup metrics (north-rule lineage). */
 final case class PartitionMetrics(

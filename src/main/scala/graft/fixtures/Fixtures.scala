@@ -273,9 +273,18 @@ object Fixtures {
         appendWords(bodyFlow, h, 12 + bounded(mix(h, 36L, i.toLong), 20), mix(40L, i.toLong))
         bodyFlow.append("</p>\n")
       }
-      if (i < nMedia)
+      if (i < nMedia) {
+        // media mix: mostly images, some audio clips and video embeds —
+        // exercises all three real decode paths (PPM/WAV/Y4M) downstream
+        val mh = mix(h, 37L, i.toLong)
+        val ext = bounded(mix(mh, 1L), 6) match {
+          case 4 => ".wav"
+          case 5 => ".y4m"
+          case _ => ".jpg"
+        }
         bodyFlow.append("<img src=\"https://cdn.example.org/img/")
-          .append(bounded(mix(h, 37L, i.toLong), 100000)).append(".jpg\">\n")
+          .append(bounded(mh, 100000)).append(ext).append("\">\n")
+      }
     }
     // comment pages of 4 blocks: pages ≥2 are announced by a sibling
     // <hr class="cpage"> marker (the fixture analogue of the reference's

@@ -133,45 +133,118 @@ object Guard {
     * with zero caller cooperation. An explicit `obs` additionally gives
     * the caller blocking reads + the AQE-pruned-plan recompute fallback.
     */
+  /** A/B escape hatch for measuring the default-on telemetry's own cost:
+    * `-Dgraft.guard.telemetry=off` skips the CollectMetrics attach (and the
+    * listener registration) entirely. BENCH-ONLY — with it off, a recall
+    * collapse is silent again. Read per call so one JVM can interleave
+    * on/off batteries (see graft.tools.GuardAbBench).
+    */
+  private def telemetryOff: Boolean =
+    sys.props.get("graft.guard.telemetry").contains("off")
+
   private[ops] def observeDrops(bucketCounts: DataFrame,
       obs: Option[GuardObservation], cap: Int,
       countCol: String = "count", label: String = "guard"): DataFrame = {
+    if (telemetryOff && obs.isEmpty) return bucketCounts
     ensureListener(bucketCounts.sparkSession)
     val aggs = dropAggs(countCol, cap)
     obs match {
       case Some(o) =>
         o.attached = true
         o.source = Some((bucketCounts, cap, countCol))
+        putTag(o.obs.name)
         bucketCounts.observe(o.obs, aggs.head, aggs.tail: _*)
       case None =>
-        bucketCounts.observe(
-          s"graft_guard_${label}_${ids.incrementAndGet()}", aggs.head, aggs.tail: _*)
+        val name = s"graft_guard_${label}_${ids.incrementAndGet()}"
+        putTag(name)
+        bucketCounts.observe(name, aggs.head, aggs.tail: _*)
     }
   }
 
   // ---- default-on telemetry: session listener + drop ledger -----------------
 
-  /** Worst observed drop stats per guard label since the last drain:
-    * label -> (total_rows, dropped_rows) of the lossiest observation.
+  /** One ledger row = one observed guard invocation (keyed by the unique
+    * metric name, so two runs of the SAME op — or two concurrent sessions
+    * hitting the same label — never merge).
+    */
+  final case class DropRecord(label: String, queryTag: String,
+      totalRows: Long, droppedRows: Long) {
+    def fraction: Double =
+      if (totalRows == 0L) 0.0 else droppedRows.toDouble / totalRows
+  }
+
+  /** Per-observation drop stats since the last drain, keyed by the unique
+    * metric name (`graft_guard_<label>_<n>`).
     */
   private val ledger =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, DropRecord]()
+  private val LedgerMax = 4096
+  @volatile private var ledgerLastUpdateNanos = 0L
 
-  /** Read-and-clear the drop ledger (fractions per guard label). The
-    * QueryExecutionListener bus is ASYNC — callers reading right after an
-    * action should allow a moment for delivery (graft.Bench sleeps 2 s
-    * after its battery before draining).
+  /** Attach-time query attribution: benches/pipelines set a tag around
+    * each query they run (`withQueryTag`); `observeDrops` captures it
+    * SYNCHRONOUSLY on the attaching thread (plan construction), so the
+    * async listener delivery later cannot mis-attribute an observation to
+    * whatever query happens to be running at delivery time.
     */
-  def drainDropLedger(): Map[String, Double] = {
-    val out = scala.collection.mutable.Map.empty[String, Double]
+  private val queryTag = new ThreadLocal[String] { override def initialValue(): String = "" }
+  private val tagOf = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Tags are best-effort attribution — bounded even if nothing ever
+    * drains (rows are reclaimed on drain; empty tags aren't stored).
+    */
+  private def putTag(name: String): Unit = {
+    val t = queryTag.get()
+    if (t.nonEmpty && tagOf.size() < 2 * LedgerMax) tagOf.put(name, t)
+  }
+
+  def withQueryTag[A](tag: String)(body: => A): A = {
+    val prev = queryTag.get()
+    queryTag.set(tag)
+    try body finally queryTag.set(prev)
+  }
+
+  /** Read-and-clear the drop ledger, collapsed to the lossiest observation
+    * per guard label (the alerting view). Per-observation attribution:
+    * `drainDropLedgerDetailed`. The QueryExecutionListener bus is ASYNC —
+    * call `awaitLedgerQuiescent` first when reading right after an action.
+    */
+  def drainDropLedger(): Map[String, Double] =
+    drainDropLedgerDetailed()
+      .groupBy(_.label)
+      .map { case (lbl, rs) => lbl -> rs.map(_.fraction).max }
+
+  /** Read-and-clear the drop ledger: every observation since the last
+    * drain, each with its label and the query tag captured at attach time.
+    */
+  def drainDropLedgerDetailed(): Seq[DropRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DropRecord]
     val it = ledger.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val (t, d) = e.getValue
-      out(e.getKey) = if (t == 0L) 0.0 else d.toDouble / t
+      out += e.getValue
+      tagOf.remove(e.getKey) // the observation is spent; drop its tag row
       it.remove()
     }
-    out.toMap
+    out.toSeq
+  }
+
+  /** Wait for the async listener bus to go quiet: returns once no ledger
+    * update has arrived for `quietMs`, or after `deadlineMs` total. A
+    * battery with zero guarded queries returns after one quiet window —
+    * strictly better than a fixed sleep sized for the worst case.
+    */
+  def awaitLedgerQuiescent(quietMs: Long = 500, deadlineMs: Long = 15000): Unit = {
+    val t0 = System.nanoTime()
+    var last = ledgerLastUpdateNanos
+    var quietSince = System.nanoTime()
+    while ((System.nanoTime() - t0) / 1e6 < deadlineMs) {
+      val cur = ledgerLastUpdateNanos
+      val now = System.nanoTime()
+      if (cur != last) { last = cur; quietSince = now }
+      else if ((now - quietSince) / 1e6 >= quietMs) return
+      Thread.sleep(50)
+    }
   }
 
   /** graft_guard_<label>_<n> → <label> */
@@ -187,7 +260,7 @@ object Guard {
     * so its cost is O(#metrics) per query.
     */
   def ensureListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (listenedSessions.add(spark))
+    if (!telemetryOff && listenedSessions.add(spark))
       spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
@@ -199,13 +272,21 @@ object Guard {
                 val total = row.getAs[Long]("total_rows")
                 val dropped = row.getAs[Long]("dropped_rows")
                 val lbl = labelOf(name)
-                ledger.merge(lbl, (total, dropped), (a, b) => {
-                  def frac(x: (Long, Long)) =
-                    if (x._1 == 0L) 0.0 else x._2.toDouble / x._1
-                  if (frac(b) >= frac(a)) b else a
-                })
+                // keyed by the UNIQUE metric name: repeated runs of the
+                // same op (and concurrent sessions) stay separate rows; a
+                // re-delivery of the same observation (self-join subtrees
+                // re-execute the CollectMetrics node) keeps the worst
+                val tag = tagOf.getOrDefault(name, "")
+                // a never-drained session must not grow the ledger without
+                // bound: past the cap, fold into one worst-wins row per
+                // label (exactly the old aggregate behavior)
+                val key = if (ledger.size() < LedgerMax || ledger.containsKey(name)) name
+                  else s"graft_guard_${lbl}_overflow"
+                ledger.merge(key, DropRecord(lbl, tag, total, dropped),
+                  (a, b) => if (b.fraction >= a.fraction) b else a)
+                ledgerLastUpdateNanos = System.nanoTime()
                 if (dropped > 0L)
-                  log.warn(f"[$lbl] recall guard dropped " +
+                  log.warn(f"[$lbl${if (tag.isEmpty) "" else s" @$tag"}] recall guard dropped " +
                     f"${100.0 * dropped / math.max(1L, total)}%.1f%% of candidate rows " +
                     f"($dropped of $total; ${row.getAs[Long]("dropped_buckets")} of " +
                     f"${row.getAs[Long]("buckets")} buckets over cap) — grow the " +

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** One media asset: opaque bytes + typed metadata. In the crawl pipeline
   * these come from the media spans of the interleaved docs table; in the
-  * sandbox the bytes are deterministic fakes (no image/audio libs in this
-  * container — the DECODE step is stubbed; the Spark-side plumbing —
-  * schema, batching, partitioning — is real and tested).
+  * sandbox the bytes are deterministic but REAL encoded media (binary PPM
+  * images, RIFF/PCM16 WAV audio, YUV4MPEG2 video — all pure-JVM formats),
+  * and the decode stage parses them for real: dimensions, sample counts
+  * and frame counts come from the bytes. No codec library is needed and
+  * no decode path is stubbed.
   */
 final case class MediaAsset(media_id: String, doc_id: String, kind: String, bytes: Array[Byte])
 final case class MediaFeatures(
@@ -40,20 +42,21 @@ object Multimodal {
 
   def kindOf(ref: String): String =
     if (ref.endsWith(".jpg") || ref.endsWith(".png")) "image"
-    else if (ref.endsWith(".mp4")) "video"
+    else if (ref.endsWith(".mp4") || ref.endsWith(".y4m")) "video"
     else if (ref.endsWith(".mp3") || ref.endsWith(".wav")) "audio"
     else "binary"
 
-  /** Deterministic asset payload. Image and audio refs get REAL encoded
-    * media — a binary PPM (P6) and a PCM16 mono RIFF/WAVE respectively,
-    * both pure-JVM formats needing no codec libraries — so the decode
-    * stage downstream parses actual bytes instead of pretending to.
-    * Video/binary refs keep an opaque deterministic payload (there is no
-    * comparably trivial video container; that decode stays stubbed).
+  /** Deterministic asset payload. Image, audio AND video refs get REAL
+    * encoded media — a binary PPM (P6), a PCM16 mono RIFF/WAVE, and a
+    * YUV4MPEG2 (Y4M) stream respectively, all pure-JVM formats needing no
+    * codec libraries — so the decode stage downstream parses actual bytes
+    * instead of pretending to. Unrecognized refs get an opaque
+    * deterministic payload (decoded as a plain byte histogram).
     */
   def fakeBytes(ref: String): Array[Byte] = kindOf(ref) match {
     case "image" => ppmBytes(ref)
     case "audio" => wavBytes(ref)
+    case "video" => y4mBytes(ref)
     case _ =>
       val h = graft.core.UrlCanon.hash64(ref)
       Array.tabulate(64)(i => ((graft.fixtures.Fixtures.mix(h, i.toLong) % 256).toByte))
@@ -94,6 +97,36 @@ object Multimodal {
       i += 1
     }
     bb.array()
+  }
+
+  /** Deterministic YUV4MPEG2 (Y4M) stream: plain-text stream header, then
+    * uncompressed C420 frames (`FRAME\n` + Y plane + quarter-size U and V
+    * planes). Even dimensions (C420 subsamples chroma 2x2), 4..31 frames.
+    */
+  def y4mBytes(ref: String): Array[Byte] = {
+    val h = graft.core.UrlCanon.hash64(ref)
+    import graft.fixtures.Fixtures.{bounded, mix}
+    val w = 8 + 2 * bounded(mix(h, 104L), 12)  // 8..30, even
+    val ht = 6 + 2 * bounded(mix(h, 105L), 8)  // 6..20, even
+    val nf = 4 + bounded(mix(h, 106L), 28)     // 4..31 frames
+    val header = s"YUV4MPEG2 W$w H$ht F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val frameMark = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val ySize = w * ht; val cSize = (w / 2) * (ht / 2)
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nf * (frameMark.length + ySize + 2 * cSize))
+    out.write(header, 0, header.length)
+    var f = 0
+    while (f < nf) {
+      out.write(frameMark, 0, frameMark.length)
+      var i = 0
+      while (i < ySize + 2 * cSize) {
+        out.write(bounded(mix(h, 3000L + f * 100000L + i), 256))
+        i += 1
+      }
+      f += 1
+    }
+    out.toByteArray
   }
 
   /** Minimal binary-PPM (P6, maxval 255) parser: pure JVM, handles `#`
@@ -139,6 +172,11 @@ object Multimodal {
     var off = 12
     while (off + 8 <= bytes.length) {
       val id = tag(off); val size = bb.getInt(off + 4)
+      // decode() is a public API: a negative or over-long chunk size in
+      // malformed bytes must fail loudly like the other malformed cases,
+      // not loop forever / skip the data chunk
+      require(size >= 0 && off + 8 + size.toLong <= bytes.length,
+        s"malformed WAV chunk '$id' at $off: size $size exceeds ${bytes.length} bytes")
       if (id == "fmt ") {
         channels = bb.getShort(off + 10); rate = bb.getInt(off + 12)
         bits = bb.getShort(off + 22)
@@ -151,23 +189,78 @@ object Multimodal {
     (rate, Array.tabulate(n)(j => bb.getShort(dataOff + 2 * j)))
   }
 
-  /** REAL decode for the two pure-JVM formats, stub for the rest.
+  /** One decoded Y4M frame: full-resolution luma plane + 2x2-subsampled
+    * chroma planes (C420).
+    */
+  final case class Y4mFrame(y: Array[Byte], u: Array[Byte], v: Array[Byte])
+
+  /** Minimal YUV4MPEG2 parser for C420 streams: plain-text stream header
+    * (`YUV4MPEG2 W.. H.. ...`), then `FRAME[ params]\n` + raw planes per
+    * frame. Returns (width, height, frames). Pure JVM — the header is
+    * ASCII and the planes are uncompressed, so no codec library is needed.
+    */
+  def decodeY4m(bytes: Array[Byte]): (Int, Int, IndexedSeq[Y4mFrame]) = {
+    val magic = "YUV4MPEG2"
+    require(bytes.length > magic.length &&
+      new String(bytes, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
+      "not a YUV4MPEG2 stream")
+    var i = magic.length
+    var headerEnd = i
+    while (headerEnd < bytes.length && bytes(headerEnd) != '\n') headerEnd += 1
+    require(headerEnd < bytes.length, "unterminated Y4M stream header")
+    val params = new String(bytes, i, headerEnd - i,
+      java.nio.charset.StandardCharsets.US_ASCII).trim.split("\\s+").filter(_.nonEmpty)
+    var w = -1; var h = -1; var colorspace = "420jpeg" // Y4M default is 4:2:0
+    params.foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'C' => colorspace = p.substring(1)
+        case _ => () // F (rate), I (interlace), A (aspect), X (extension): not needed
+      }
+    }
+    require(w > 0 && h > 0, s"Y4M header missing W/H (W$w H$h)")
+    require(colorspace.startsWith("420"), s"unsupported Y4M colorspace C$colorspace")
+    require(w % 2 == 0 && h % 2 == 0, s"C420 needs even dims, got ${w}x$h")
+    val ySize = w * h; val cSize = (w / 2) * (h / 2)
+    val frames = Vector.newBuilder[Y4mFrame]
+    i = headerEnd + 1
+    while (i < bytes.length) {
+      require(bytes.length - i >= 5 &&
+        new String(bytes, i, 5, java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+        s"expected FRAME marker at offset $i")
+      i += 5
+      while (i < bytes.length && bytes(i) != '\n') i += 1 // frame params
+      require(i < bytes.length, "unterminated FRAME header")
+      i += 1
+      require(bytes.length - i >= ySize + 2 * cSize, "truncated Y4M frame planes")
+      frames += Y4mFrame(
+        java.util.Arrays.copyOfRange(bytes, i, i + ySize),
+        java.util.Arrays.copyOfRange(bytes, i + ySize, i + ySize + cSize),
+        java.util.Arrays.copyOfRange(bytes, i + ySize + cSize, i + ySize + 2 * cSize))
+      i += ySize + 2 * cSize
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "Y4M stream has no frames")
+    (w, h, fs)
+  }
+
+  /** REAL decode for every kind — zero stubs.
     *
-    * Image (PPM) and audio (WAV) assets are actually parsed — dimensions
-    * and sample counts come from the bytes, and the 16-dim feature vector
-    * is computed from the decoded raster/samples:
+    * Dimensions, sample counts and frame counts come from the bytes, and
+    * the 16-dim feature vector is computed from the decoded content:
     *   image → [meanR, meanG, meanB, 13-bin luminance histogram] (all in
     *           [0,1]; width/height from the PPM header; format "ppm")
     *   audio → [RMS of 16 equal time segments] (normalized by 2^15;
     *           width = sample rate, height = sample count, format "wav")
+    *   video → [meanY, meanU, meanV, 13-bin luma histogram] over all
+    *           decoded frames (Y4M/C420; width/height from the stream
+    *           header, n_frames counted from the FRAME markers)
+    *   binary → 16-bin byte-value histogram of the opaque payload
+    *           (width = payload length, height = 1, format "binary")
     * Features are NON-NEGATIVE by construction — q38's milli-scaling
     * rounds identically in Spark SQL (HALF_UP) and Math.round only for
     * values ≥ 0.
-    *
-    * Video keeps the deterministic stub: there is no comparably trivial
-    * pure-JVM video container, and this container has no codec libs (the
-    * honest boundary — the mapPartitions batching, schema and joins
-    * downstream are identical for both paths).
     */
   def decode(a: MediaAsset): MediaFeatures = a.kind match {
     case "image" =>
@@ -200,28 +293,37 @@ object Multimodal {
         (math.sqrt(acc / seg) / 32768.0).toFloat
       }
       MediaFeatures(a.media_id, a.doc_id, a.kind, rate, n, "wav", 1, feat.toSeq)
-    case _ => decodeStub(a)
-  }
-
-  /** ===== STUBBED DECODE (video/binary only since the PPM/WAV decoders
-    * landed) =====
-    * A real deployment would decode video bytes here (e.g. JavaCV); this
-    * container has no codec libs, so the decode is a deterministic fake
-    * that PRESERVES the real contract: (bytes → width/height/format/frames
-    * + a fixed-width float feature vector). Everything downstream (schema,
-    * batching, joins) is real.
-    */
-  def decodeStub(a: MediaAsset): MediaFeatures = {
-    val h = graft.core.UrlCanon.hash64(a.media_id)
-    def b(tag: Long, n: Int) = graft.fixtures.Fixtures.bounded(graft.fixtures.Fixtures.mix(h, tag), n)
-    MediaFeatures(
-      a.media_id, a.doc_id, a.kind,
-      width = 64 + b(1L, 1920),
-      height = 64 + b(2L, 1080),
-      format = if (a.kind == "image") "jpeg" else a.kind,
-      n_frames = if (a.kind == "video") 1 + b(3L, 300) else 1,
-      feature = Array.tabulate(16)(i =>
-        (graft.fixtures.Fixtures.mix(h, 10L + i) % 1000).toFloat / 1000f).toSeq)
+    case "video" =>
+      val (w, h, frames) = decodeY4m(a.bytes)
+      val yPix = w * h; val cPix = (w / 2) * (h / 2)
+      var sy = 0L; var su = 0L; var sv = 0L
+      val hist = new Array[Long](13)
+      frames.foreach { fr =>
+        var i = 0
+        while (i < yPix) {
+          val y = fr.y(i) & 0xff
+          sy += y; hist(math.min(12, y * 13 / 256)) += 1
+          i += 1
+        }
+        i = 0
+        while (i < cPix) { su += fr.u(i) & 0xff; sv += fr.v(i) & 0xff; i += 1 }
+      }
+      val nY = yPix.toLong * frames.length
+      val nC = cPix.toLong * frames.length
+      val feat = Array(
+        (sy.toDouble / (255.0 * nY)).toFloat,
+        (su.toDouble / (255.0 * nC)).toFloat,
+        (sv.toDouble / (255.0 * nC)).toFloat) ++
+        hist.map(c => (c.toDouble / nY).toFloat)
+      MediaFeatures(a.media_id, a.doc_id, a.kind, w, h, "y4m", frames.length, feat.toSeq)
+    case _ =>
+      // opaque payload: no structure to parse, but the features are still
+      // computed from the actual bytes (16-bin byte-value histogram)
+      val hist = new Array[Int](16)
+      a.bytes.foreach(b => hist((b & 0xff) >> 4) += 1)
+      val n = math.max(1, a.bytes.length)
+      MediaFeatures(a.media_id, a.doc_id, a.kind, a.bytes.length, 1, "binary", 1,
+        hist.map(c => c.toFloat / n).toSeq)
   }
 
   /** Batch feature extraction: mapPartitions so a real decoder would be
@@ -238,12 +340,43 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling for video assets: every `stride`-th frame index up to
-    * n_frames (plumbing for a video training pipeline).
+  /** Frame-index sampling for video assets: every `stride`-th frame index
+    * up to n_frames. Since the Y4M decode landed, n_frames is counted from
+    * the asset's actual FRAME markers — the sampled indices refer to real
+    * decoded frames (`sampleFrameFeatures` materializes their content).
     */
   def sampleFrames(features: DataFrame, stride: Int = 30): DataFrame =
     features.filter(col("kind") === "video")
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("doc_id"), col("frame_idx"))
+
+  /** Content-level frame sampling: decode each video asset and emit one
+    * row per sampled frame with features computed from THAT frame's
+    * planes (mean luma + mean chroma) — the shape a video training
+    * pipeline feeds to a per-frame encoder. Same mapPartitions batching
+    * as extractFeatures; only the sampled frames' stats are materialized.
+    */
+  def sampleFrameFeatures(spark: SparkSession, media: Dataset[MediaAsset],
+      stride: Int = 30, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .repartition(partitions, col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val (w, h, frames) = decodeY4m(a.bytes)
+          (0 until frames.length by stride).iterator.map { fi =>
+            val fr = frames(fi)
+            def mean(p: Array[Byte]) = {
+              var s = 0L; var i = 0
+              while (i < p.length) { s += p(i) & 0xff; i += 1 }
+              (s.toDouble / (255.0 * math.max(1, p.length))).toFloat
+            }
+            (a.media_id, a.doc_id, fi, w, h, mean(fr.y), mean(fr.u), mean(fr.v))
+          }
+        }
+      }
+      .toDF("media_id", "doc_id", "frame_idx", "width", "height",
+        "mean_y", "mean_u", "mean_v")
+  }
 }

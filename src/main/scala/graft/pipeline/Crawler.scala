@@ -133,15 +133,23 @@ final class Crawler(
     * that was never registered with the CacheManager — so without this
     * the blocks are reclaimed only when the ContextCleaner notices the
     * RDD is garbage (GC-latency-bound on long crawls with large rounds).
-    * Only call once every consumer has materialized: a localCheckpoint'ed
-    * RDD cannot recompute, so a later read of the frame fails loudly
-    * (resume covers that, same contract as a lost checkpoint block).
-    * Non-checkpointed frames have no `LogicalRDD` leaf → no-op.
+    *
+    * GATED behind `config.eagerCheckpointFree` (default OFF): the
+    * downstream consumers (seqCache, mergedState, the collapsed seen
+    * chain) hold the data via persist() only, so if a cache block is
+    * evicted under memory pressure — or an executor is lost on a real
+    * cluster — a recomputable cache miss becomes a hard job failure once
+    * the checkpoint blocks underneath are gone. Single-JVM benches (no
+    * executor loss, rounds end before eviction pressure) turn it on to
+    * cut GC-latency-bound block retention; production leaves the
+    * ContextCleaner in charge. Non-checkpointed frames have no
+    * `LogicalRDD` leaf → no-op either way.
     */
   private def dropCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    if (config.eagerCheckpointFree)
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
 
   /** Robots disallow filter: left-join the rules, drop candidates whose
     * path starts with any disallowed prefix (no rules → allowed).

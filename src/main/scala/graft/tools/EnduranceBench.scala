@@ -41,7 +41,8 @@ object EnduranceBench {
     val cfg = graft.core.CrawlConfig(maxRounds = rounds,
       seenPartitions = cores.toInt, saltFactor = 32,
       bloomExpectedPerPartition = 2000000L, collapseEvery = collapseEvery,
-      persistRounds = true)
+      persistRounds = true,
+      eagerCheckpointFree = true) // single JVM: eager free is safe here
 
     // Untimed warm-up, same rule as ScalingBench: the first big run in a
     // JVM/VM pays one-off JIT + lazy page-provisioning costs (tmpfs
@@ -54,6 +55,12 @@ object EnduranceBench {
       val warm = new graft.pipeline.Crawler(spark, warmCfg, warmStore)
       warm.run(spark.range(math.max(1L, nSeeds / 4))
         .map(i => graft.fixtures.Fixtures.benchSeed(i, postRange = 2000000, nHosts = nHosts)))
+      // the warm-up's snapshot store is dead weight sharing the timed
+      // run's filesystem (tmpfs-backed /tmp would pressure the very run
+      // this warm-up stabilizes) — delete it before the timed loop
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(warmStore)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
     val crawler = new graft.pipeline.Crawler(spark, cfg, store)

@@ -125,7 +125,8 @@ object ScalingBench {
     // that capped measurable scaling (each lane still paces at
     // delay*salt, preserving the per-host politeness budget)
     val cfg = graft.core.CrawlConfig(maxRounds = 2, seenPartitions = math.max(cores, 16),
-      saltFactor = 64, bloomExpectedPerPartition = 2000000L, persistRounds = false)
+      saltFactor = 64, bloomExpectedPerPartition = 2000000L, persistRounds = false,
+      eagerCheckpointFree = true) // single JVM, 2 rounds: eager free is safe here
     val stats = new StageStats
     if (sys.env.get("GRAFT_STAGESTATS").contains("1"))
       spark.sparkContext.addSparkListener(stats)

@@ -267,8 +267,8 @@ class OpsSpec extends SparkSpec {
       audioFeat.height == samples.length &&
       audioFeat.feature.length == 16 && audioFeat.feature.forall(v => v >= 0f && v <= 1f))
 
-    // pipeline: media table from spans (fixture refs are all .jpg →
-    // images), features come from REAL decodes of the PPM bytes
+    // pipeline: media table from spans (fixture refs mix .jpg/.wav/.y4m),
+    // features come from REAL decodes of the PPM/WAV/Y4M bytes
     val fixtureDocs = (0 until 100).flatMap { i =>
       val canon = graft.core.UrlCanon.canonicalize(
         graft.fixtures.Fixtures.cleanUrl(graft.fixtures.Fixtures.Hosts(i % 12), i % 4, i))
@@ -280,9 +280,12 @@ class OpsSpec extends SparkSpec {
     val nMediaSpans = docsDF
       .select(explode(expr("filter(spans, s -> s.kind = 'media')"))).count()
     assert(media.count() == nMediaSpans && nMediaSpans > 0)
+    // the fixture mix must actually exercise all three decode paths
+    val kinds = media.select("kind").distinct().as[String].collect().toSet
+    assert(Set("image", "audio", "video").subsetOf(kinds), s"fixture kinds: $kinds")
     val feats = Multimodal.extractFeatures(spark, media, partitions = 4).cache()
     assert(feats.count() == media.count())
-    val f = feats.head()
+    val f = feats.filter(col("kind") === "image").head()
     assert(f.format == "ppm" && f.width >= 8 && f.width < 32 && f.n_frames == 1)
     assert(f.feature.length == 16 && f.feature.forall(v => v >= 0f && v <= 1f))
     // dims must MATCH the asset bytes, not a hash of the id (proof the
@@ -290,10 +293,84 @@ class OpsSpec extends SparkSpec {
     val oneAsset = media.filter(col("media_id") === f.media_id).head()
     val (pw, ph, _) = Multimodal.decodePpm(oneAsset.bytes)
     assert(f.width == pw && f.height == ph)
+    // video rows: n_frames counted from the stream's FRAME markers
+    val vf = feats.filter(col("kind") === "video").head()
+    val vAsset = media.filter(col("media_id") === vf.media_id).head()
+    val (vw, vh, vFrames) = Multimodal.decodeY4m(vAsset.bytes)
+    assert(vf.format == "y4m" && vf.width == vw && vf.height == vh &&
+      vf.n_frames == vFrames.length && vf.n_frames >= 4)
+    assert(vf.feature.length == 16 && vf.feature.forall(v => v >= 0f && v <= 1f))
     // deterministic across partitioning
     val feats2 = Multimodal.extractFeatures(spark, media, partitions = 2)
     assert(feats2.orderBy("media_id", "doc_id").collect().toSeq ==
       feats.orderBy("media_id", "doc_id").collect().toSeq)
+
+    // frame sampling over REAL decoded frames: sampleFrames' indices line
+    // up with the bytes' frame count, and sampleFrameFeatures materializes
+    // per-frame stats equal to a driver-side decode of the same frame
+    val featsDF = feats.toDF()
+    val idx = Multimodal.sampleFrames(featsDF, stride = 7)
+      .filter(col("media_id") === vf.media_id)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(idx == (0 until vf.n_frames by 7).toSeq)
+    val ff = Multimodal.sampleFrameFeatures(spark, media, stride = 7, partitions = 2)
+      .filter(col("media_id") === vf.media_id)
+      .orderBy("frame_idx")
+      .select("frame_idx", "mean_y").as[(Int, Float)].collect().toSeq
+    assert(ff.map(_._1) == idx)
+    val fr0 = vFrames(0)
+    val wantMeanY = (fr0.y.map(_ & 0xff).map(_.toLong).sum.toDouble /
+      (255.0 * fr0.y.length)).toFloat
+    assert(ff.head._2 == wantMeanY)
+  }
+
+  test("y4m decode: round-trip, header tolerance, malformed streams fail loudly") {
+    val y4m = Multimodal.y4mBytes("http://cdn.example/clip.y4m")
+    val (w, h, frames) = Multimodal.decodeY4m(y4m)
+    assert(w % 2 == 0 && h % 2 == 0 && frames.length >= 4)
+    assert(frames.forall(f => f.y.length == w * h && f.u.length == w * h / 4
+      && f.v.length == w * h / 4))
+    // decode() features come from the planes
+    val feat = Multimodal.decode(MediaAsset("http://cdn.example/clip.y4m", "d", "video", y4m))
+    assert(feat.format == "y4m" && feat.n_frames == frames.length)
+    val wantMeanY = (frames.flatMap(_.y).map(_ & 0xff).map(_.toLong).sum.toDouble /
+      (255.0 * w * h * frames.length)).toFloat
+    assert(feat.feature(0) == wantMeanY)
+    // header tolerance: parameter order and extra params are legal; frame
+    // params after FRAME are skipped
+    val tiny = ("YUV4MPEG2 C420 H2 W2 F30:1 Xsome\nFRAME Iextra\n" + " " * 6)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (tw, th, tf) = Multimodal.decodeY4m(tiny)
+    assert(tw == 2 && th == 2 && tf.length == 1)
+    // malformed: bad magic, odd dims, truncated planes, bad frame marker
+    intercept[IllegalArgumentException] { Multimodal.decodeY4m("JUNK\n".getBytes) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("YUV4MPEG2 W3 H2\nFRAME\n      "
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("YUV4MPEG2 W2 H2\nFRAME\n  "
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(("YUV4MPEG2 W2 H2\nFRUME\n" + " " * 6)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    // malformed WAV chunk sizes fail loudly instead of looping/skipping
+    val wav = Multimodal.wavBytes("http://cdn.example/clip.wav")
+    val evil = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // fmt chunk size → negative: would loop forever unchecked
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(evil) }
+    val evil2 = wav.clone()
+    java.nio.ByteBuffer.wrap(evil2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 4) // huge chunk: would skip past the data chunk
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(evil2) }
+    // opaque payloads: byte-histogram features from the actual bytes
+    val blob = Array.tabulate[Byte](64)(i => (i * 4).toByte) // 4 bytes per nibble bin
+    val bf = Multimodal.decode(MediaAsset("x.bin", "d", "binary", blob))
+    assert(bf.format == "binary" && bf.width == 64 && bf.feature.length == 16 &&
+      bf.feature.forall(_ == 4f / 64f))
   }
 
   test("guard observation: drop metrics fire on an overflow corpus, zero on a safe one") {
@@ -380,6 +457,47 @@ class OpsSpec extends SparkSpec {
       drops2 = drops2 ++ Guard.drainDropLedger()
     }
     assert(drops2.get("ngramJaccardPairs").contains(0.0), s"got $drops2")
+  }
+
+  test("guard ledger: two same-label runs stay separate rows with their own query tags") {
+    Guard.drainDropLedgerDetailed() // clear anything earlier tests left behind
+    // run the SAME op twice under different query tags: once lossy
+    // (maxDf=10 drops the df=40 hub shingle), once clean (maxDf=1000) —
+    // worst-wins-per-label would let the lossy run mask the clean one (or
+    // vice versa); per-observation rows + attach-time tags keep both
+    val hubDocs = spark.range(40).select(
+      $"id".cast("string").as("doc_id"),
+      concat(lit("hub hub w"), ($"id" / 2).cast("long").cast("string"),
+        lit("a w"), ($"id" / 2).cast("long").cast("string"),
+        lit("b end")).as("text"))
+    Guard.withQueryTag("qA_lossy") {
+      assert(Dedup.ngramJaccardPairs(hubDocs, shingleW = 2, threshold = 0.3,
+        maxDf = 10).count() > 0)
+    }
+    Guard.withQueryTag("qB_clean") {
+      assert(Dedup.ngramJaccardPairs(hubDocs, shingleW = 2, threshold = 0.3,
+        maxDf = 1000).count() > 0)
+    }
+    val deadline = System.currentTimeMillis() + 15000
+    var recs = Seq.empty[Guard.DropRecord]
+    def tags = recs.filter(_.label == "ngramJaccardPairs").map(_.queryTag).toSet
+    while (!Set("qA_lossy", "qB_clean").subsetOf(tags) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      recs = recs ++ Guard.drainDropLedgerDetailed()
+    }
+    val byTag = recs.filter(_.label == "ngramJaccardPairs")
+      .groupBy(_.queryTag).map { case (t, rs) => t -> rs.map(_.fraction).max }
+    assert(byTag.get("qA_lossy").exists(_ > 0.0), s"got $byTag")
+    assert(byTag.get("qB_clean").contains(0.0), s"got $byTag")
+    // the aggregate (alerting) view still reports the label's worst run
+    Guard.withQueryTag("qC") {
+      assert(Dedup.ngramJaccardPairs(hubDocs, shingleW = 2, threshold = 0.3,
+        maxDf = 10).count() > 0)
+    }
+    Guard.awaitLedgerQuiescent()
+    val agg = Guard.drainDropLedger()
+    assert(agg.get("ngramJaccardPairs").exists(_ > 0.0), s"got $agg")
   }
 
   test("simhash128: lo limb equals the 64-bit signature; auto path keeps recall past the 64-bit ceiling") {
