@@ -407,6 +407,29 @@ object SparkEntry {
         .drop("feature")
         .orderBy(col("media_id"), col("doc_id"))
     }),
+    "q49_frame_features" -> ((s, d) => {
+      import s.implicits._
+      val seeds = graft.fixtures.Fixtures.seeds(120)
+      val docRows = seeds.flatMap { sr =>
+        val canon = graft.core.UrlCanon.canonicalize(sr.url)
+        graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
+          .map(p => (canon, p.spans))
+      }.distinct
+      val docs = s.createDataset(docRows.toSeq).toDF("doc_id", "spans")
+      val media = graft.ops.Multimodal.mediaTable(s, docs)
+      // frame-level video sampling: every 7th frame of each Y4M asset,
+      // per-frame mean luma/chroma computed from THAT frame's decoded
+      // planes (milli-scaled like q38; means are non-negative, so SQL
+      // HALF_UP and Math.round agree). The oracle recomputes the same
+      // decode driver-side into VALUES — DuckDB then verifies the
+      // distributed application down to individual frame planes.
+      graft.ops.Multimodal.sampleFrameFeatures(s, media, stride = 7, partitions = 8)
+        .withColumn("mean_y_milli", round(col("mean_y").cast("double") * 1000).cast("int"))
+        .withColumn("mean_u_milli", round(col("mean_u").cast("double") * 1000).cast("int"))
+        .withColumn("mean_v_milli", round(col("mean_v").cast("double") * 1000).cast("int"))
+        .drop("mean_y", "mean_u", "mean_v")
+        .orderBy(col("media_id"), col("doc_id"), col("frame_idx"))
+    }),
     "q41_simhash_engine_pairs" -> ((s, d) => {
       // the ENGINE-default simhash path (single-pass FNV signatures over 64
       // bits, 10k block guard — what a pipeline actually runs); the oracle
@@ -1032,6 +1055,42 @@ object SparkEntry {
           ORDER BY media_id, doc_id"""
     }
 
+    val q49 = entry("q49_frame_features") {
+      val rows = graft.fixtures.Fixtures.seeds(120).flatMap { sr =>
+        val canon = graft.core.UrlCanon.canonicalize(sr.url)
+        graft.parse.PageParser.parse(graft.fixtures.Fixtures.html(canon), canon)
+          .map(p => (canon, p.spans))
+      }.distinct.flatMap { case (canon, spans) =>
+        spans.filter(_.kind == "media").map(_.media_ref)
+          .filter(r => graft.ops.Multimodal.kindOf(r) == "video")
+          .flatMap { ref =>
+            // same real Y4M decode and the same Float mean arithmetic as
+            // the Spark side (sampleFrameFeatures), frame by frame
+            val (w, h, frames) = graft.ops.Multimodal.decodeY4m(
+              graft.ops.Multimodal.fakeBytes(ref))
+            (0 until frames.length by 7).map { fi =>
+              val fr = frames(fi)
+              def milli(p: Array[Byte]): Long = {
+                var s = 0L; var i = 0
+                while (i < p.length) { s += p(i) & 0xff; i += 1 }
+                Math.round((s.toDouble / (255.0 * math.max(1, p.length))).toFloat.toDouble * 1000)
+              }
+              s"(${sqlLit(ref)}, ${sqlLit(canon)}, $fi, $w, $h, " +
+                s"${milli(fr.y)}, ${milli(fr.u)}, ${milli(fr.v)})"
+            }
+          }
+      }.mkString(", ")
+      s"""SELECT media_id, doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                 CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+                 CAST(mean_y_milli AS INT) AS mean_y_milli,
+                 CAST(mean_u_milli AS INT) AS mean_u_milli,
+                 CAST(mean_v_milli AS INT) AS mean_v_milli
+          FROM (VALUES $rows)
+            t(media_id, doc_id, frame_idx, width, height,
+              mean_y_milli, mean_u_milli, mean_v_milli)
+          ORDER BY media_id, doc_id, frame_idx"""
+    }
+
     val q41 = entry("q41_simhash_engine_pairs") {
       val rows = readDocsForOracle().map { case (id, text) =>
         val sig = if (text == null) 0L
@@ -1101,6 +1160,6 @@ object SparkEntry {
           FROM c ORDER BY cos DESC, vec_id LIMIT 10"""
     }
 
-    (q28 ++ q33 ++ q34 ++ q38 ++ q41 ++ q44 ++ q48).toMap
+    (q28 ++ q33 ++ q34 ++ q38 ++ q41 ++ q44 ++ q48 ++ q49).toMap
   }
 }
