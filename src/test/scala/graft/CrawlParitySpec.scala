@@ -223,6 +223,23 @@ class CrawlParitySpec extends SparkSpec {
     assert(seen == oracle3.seen)
   }
 
+  test("eagerCheckpointFree (bench mode) leaves the committed log byte-identical") {
+    // the flag only changes WHEN superseded localCheckpoint blocks are
+    // freed (eagerly vs ContextCleaner) — never what is computed. A crawl
+    // with it ON must commit exactly the log of the default-OFF storeRoot.
+    import spark.implicits._
+    val dir = tempDir("graft-parity-eager")
+    new Crawler(spark, config.copy(eagerCheckpointFree = true), dir)
+      .run(spark.createDataset(seeds))
+    val eager = spark.read
+      .parquet(s"$dir/data/crawl_log/round=0", s"$dir/data/crawl_log/round=1")
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    val default = spark.read
+      .parquet(s"$storeRoot/data/crawl_log/round=0", s"$storeRoot/data/crawl_log/round=1")
+      .orderBy("seq").as[CrawlLogEntry].collect().toVector
+    assert(eager == default)
+  }
+
   test("bloom bank: no false negatives; pre-filter admits all seen urls") {
     val store = new graft.snapshot.SnapshotStore(storeRoot)
     val bank = graft.frontier.DistBloomBank
