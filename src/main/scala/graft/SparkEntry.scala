@@ -438,6 +438,18 @@ object SparkEntry {
       graft.ops.Dedup.simhashDupPairs(rt(s, d, "documents"), maxHamming = 3)
         .orderBy(col("a"), col("b"))
     }),
+    "q50_dup_clusters" -> ((s, d) => {
+      // end of the dedup ladder: collapse the engine's verified simhash
+      // dup pairs into connected components and emit each doc's canonical
+      // representative (min doc id in its component) — alternating
+      // large-star/small-star, O(log^2 n) rounds of join+groupBy. The
+      // oracle computes the same components with a recursive CTE over the
+      // same (independently q41-oracled) pair set.
+      val pairs = graft.ops.Dedup
+        .simhashDupPairs(rt(s, d, "documents"), maxHamming = 3)
+        .select(col("a"), col("b"))
+      graft.ops.Dedup.dupClusters(pairs).orderBy(col("doc_id"))
+    }),
 
     // ---- corpus preparation (PII / sampling / packing / IVF) -----------------
     "q46_ngram_jaccard_engine" -> ((s, d) => {
@@ -1091,13 +1103,15 @@ object SparkEntry {
           ORDER BY media_id, doc_id, frame_idx"""
     }
 
-    val q41 = entry("q41_simhash_engine_pairs") {
+    // shared CTE chain for the engine-simhash pair set (q41 verifies the
+    // pairs themselves; q50 clusters the same set with a recursive CTE)
+    def simhashPairsCtes(): String = {
       val rows = readDocsForOracle().map { case (id, text) =>
         val sig = if (text == null) 0L
           else graft.ops.Dedup.simhash(text.split(" ").toSeq)
         s"($id, CAST($sig AS BIGINT))"
       }.mkString(", ")
-      s"""WITH sigs(doc_id, sig) AS (VALUES $rows),
+      s"""sigs(doc_id, sig) AS (VALUES $rows),
           keyed AS (
             SELECT doc_id, 0 AS q, (sig >> 0)  & 65535 AS key FROM sigs UNION ALL
             SELECT doc_id, 1 AS q, (sig >> 16) & 65535 AS key FROM sigs UNION ALL
@@ -1107,11 +1121,36 @@ object SparkEntry {
           guarded AS (SELECT k.* FROM keyed k JOIN small USING (q, key)),
           cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
                    FROM guarded a JOIN guarded b
-                     ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id)
+                     ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id)"""
+    }
+
+    val q41 = entry("q41_simhash_engine_pairs") {
+      s"""WITH ${simhashPairsCtes()}
           SELECT c.a, c.b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
           FROM cand c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
           WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
           ORDER BY a, b"""
+    }
+
+    val q50 = entry("q50_dup_clusters") {
+      // components = per-node minimum over the reachability closure (the
+      // recursive CTE's UNION dedups rows, so `walk` terminates); pair
+      // generation is byte-identical to q41's
+      s"""WITH RECURSIVE ${simhashPairsCtes()},
+          pairs AS (
+            SELECT c.a, c.b
+            FROM cand c JOIN sigs sa ON c.a = sa.doc_id
+                        JOIN sigs sb ON c.b = sb.doc_id
+            WHERE bit_count(xor(sa.sig, sb.sig)) <= 3),
+          edges AS (SELECT a AS u, b AS v FROM pairs
+                    UNION SELECT b, a FROM pairs),
+          walk(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT w.node, e.v FROM walk w JOIN edges e ON w.r = e.u)
+          SELECT CAST(node AS BIGINT) AS doc_id,
+                 CAST(min(r) AS BIGINT) AS cluster_id
+          FROM walk GROUP BY node ORDER BY doc_id"""
     }
 
     val q48 = entry("q48_simhash128_pairs") {
@@ -1160,6 +1199,6 @@ object SparkEntry {
           FROM c ORDER BY cos DESC, vec_id LIMIT 10"""
     }
 
-    (q28 ++ q33 ++ q34 ++ q38 ++ q41 ++ q44 ++ q48 ++ q49).toMap
+    (q28 ++ q33 ++ q34 ++ q38 ++ q41 ++ q44 ++ q48 ++ q49 ++ q50).toMap
   }
 }

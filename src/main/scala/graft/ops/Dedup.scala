@@ -495,4 +495,103 @@ object Dedup {
     embeddingDupPairs(embeddings, dim, planes, threshold, seed, maxBucket,
       corpusSize = n, obs = obs)
   }
+
+  // ---- dup-pair clustering (connected components) ---------------------------
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+
+  /** Large-star round (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): every node u links each STRICTLY LARGER neighbor to the
+    * minimum of u's closed neighborhood. Expressed as groupBy-min + join —
+    * no per-node neighbor list is ever materialized, so a hub node with
+    * 10^8 dup partners costs a wide aggregation, not a driver-sized array.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    val m = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.where(col("v") > col("u")).join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Small-star round: orient each edge toward its larger endpoint, then
+    * every node links its smaller neighbors (and itself) to the minimum of
+    * that set. Same join+groupBy shape as largeStar.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val m = or.groupBy("u").agg(min("v").as("m")) // m <= every small neighbor <= u
+    or.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Collapse verified dup PAIRS into components: one row per node that
+    * appears in `pairs`, with `cluster_id` = the smallest doc id in its
+    * connected component (the canonical representative a dedup pipeline
+    * keeps). Alternating large-star/small-star contraction — the standard
+    * O(log^2 n)-round MapReduce CC algorithm — so a 10^10-edge dup graph
+    * converges in tens of rounds of pure shuffle work: per round two
+    * groupBy-min aggregations and two joins, nothing collected, no
+    * neighbor lists (degree skew lands in a partial-aggregated min, not a
+    * collect_list). Driver state per round is one (count, hash) fingerprint
+    * pair used for convergence detection; `maxIter` is a hard rail far
+    * above the theoretical bound for any real corpus.
+    *
+    * Input: first two columns are the pair endpoints (any numeric type;
+    * cast to long). Singleton documents never appear in `pairs` and so are
+    * their own implicit clusters — callers wanting a total mapping
+    * left-join this result to the corpus and coalesce to doc_id.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.take(2).toSeq
+    val base = pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val nodes = symmetrize(base).select("u").distinct().persist()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor is order-independent and cannot overflow (sum would, under
+      // ANSI arithmetic); equal (count, xor-of-hashes) pairs identify equal
+      // edge SETS up to a 2^-64 collision
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // each round's edge set is localCheckpoint'ed, not persist'ed: an
+    // iterative frame built on a cached parent NESTS the parent's plan
+    // (InMemoryRelation.innerChildren), so plan trees — and every
+    // plan-description walk — grow multiplicatively with rounds; the
+    // checkpoint truncates lineage to a LogicalRDD leaf, keeping plan
+    // depth O(1) across iterations (same pattern as the crawler's
+    // seen-chain). Superseded rounds' blocks are reclaimed by the
+    // ContextCleaner; round count is tiny (O(log^2 n)).
+    var edges = base.distinct().localCheckpoint()
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = fp._1 == 0L
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      edges = next
+      converged = nfp == fp // fixpoint: both rounds changed nothing
+      fp = nfp
+      iter += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIter rounds " +
+      "(theoretical bound is O(log^2 n); raise maxIter only after checking the input)")
+    // at the fixpoint the edge set is a star per component, rooted at the
+    // component min: non-roots carry exactly (node -> root); roots carry no
+    // out-edge and map to themselves
+    val out = nodes.join(edges, Seq("u"), "left")
+      .select(col("u").as("doc_id"),
+        coalesce(col("v"), col("u")).as("cluster_id"))
+    nodes.unpersist()
+    out
+  }
 }

@@ -584,6 +584,59 @@ class OpsSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("dup clusters: star contraction equals a union-find replica on random graphs") {
+    // driver-side union-find as the sequential oracle
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val n = 10 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = (0 until nEdges).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val df = spark.createDataFrame(edges).toDF("a", "b")
+        val got = graft.ops.Dedup.dupClusters(df)
+          .as[(Long, Long)].collect().toMap
+        assert(got == unionFind(n, edges), s"trial $trial: $edges")
+      }
+    }
+
+    // adversarial diameter: a 64-node path is the slow case for naive
+    // min-propagation (O(n) rounds); star contraction must converge well
+    // inside the rail and root everything at 0
+    val path = spark.createDataFrame((0L until 63L).map(i => (i, i + 1))).toDF("a", "b")
+    val chain = graft.ops.Dedup.dupClusters(path).as[(Long, Long)].collect()
+    assert(chain.length == 64 && chain.forall(_._2 == 0L))
+
+    // planted: two cliques + one pair stay three separate clusters
+    val cliq = (for (g <- Seq(100L, 200L); i <- 0 until 4; j <- (i + 1) until 4)
+      yield (g + i, g + j)) :+ ((500L, 501L))
+    val planted = graft.ops.Dedup.dupClusters(
+      spark.createDataFrame(cliq).toDF("a", "b"))
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(planted == Map(
+      100L -> Set(100L, 101L, 102L, 103L),
+      200L -> Set(200L, 201L, 202L, 203L),
+      500L -> Set(500L, 501L)))
+
+    // empty pair set → empty mapping (singletons are implicit clusters)
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("a", "b")
+    assert(graft.ops.Dedup.dupClusters(empty).isEmpty)
+  }
+
   test("quantile threshold: topFraction equals the tie-inclusive exact top-k") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select($"o_orderkey", $"o_totalprice").cache()
