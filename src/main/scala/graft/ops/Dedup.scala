@@ -38,16 +38,32 @@ object Dedup {
   // ---- MinHash + LSH -----------------------------------------------------------
 
   /** Word w-shingles of a text (the unit hashed by MinHash), as a pure
-    * Catalyst expression: transform over an index sequence, slicing the
-    * token array — stays inside codegen, no UDF.
+    * Catalyst expression.
+    *
+    * Perf note (r07): higher-order functions are interpreted (no
+    * whole-stage codegen, no common-subexpression elimination), so a
+    * `split(text)` referenced inside the transform lambda would re-split
+    * the WHOLE text once per emitted shingle — O(n²) per document
+    * (measured: ~8 ms/doc at 54 tokens, the dominant cost of every
+    * inverted-index query). The token array is therefore bound ONCE per
+    * row through a single-element-array lambda (`transform(array(split),
+    * ts -> ...)`), and w=1 short-circuits to the token array itself
+    * (concat_ws of a single non-null token is the token). Semantics are
+    * bit-identical to the original per-index slice construction.
     */
-  def shingleCol(text: Column, w: Int = 3): Column = {
-    val toks = split(text, " ")
-    val n = size(toks)
-    when(n >= w,
-      transform(sequence(lit(0), n - w), i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-      .otherwise(array(text))
-  }
+  def shingleCol(text: Column, w: Int = 3): Column =
+    if (w == 1) {
+      val toks = split(text, " ")
+      when(size(toks) >= 1, toks).otherwise(array(text))
+    } else {
+      element_at(
+        transform(array(split(text, " ")), ts =>
+          when(size(ts) >= w,
+            transform(sequence(lit(0), size(ts) - w),
+              i => concat_ws(" ", slice(ts, i + 1, lit(w)))))
+            .otherwise(array(text))),
+        1)
+    }
 
   /** MinHash signature: for each of k seeds, min(md5(shingle || '_' || seed))
     * — min over lexicographic md5 hex strings, reproducible in any engine
@@ -55,8 +71,13 @@ object Dedup {
     * One explode + one groupBy; signature columns mh_0..mh_{k−1}.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8, shingleW: Int = 3): DataFrame = {
+    // array_distinct before the explode: min(md5(...)) over the shingle
+    // MULTISET equals min over the SET, and duplicate shingles would pay
+    // k md5s each for nothing (w=1 token duplication is ~2.3× on the
+    // bench corpus)
     val exploded = docs
-      .select(col("doc_id"), explode(shingleCol(col("text"), shingleW)).as("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingleCol(col("text"), shingleW))).as("sh"))
     val aggs = (0 until k).map(i =>
       min(md5(concat(col("sh"), lit(s"_$i")))).as(s"mh_$i"))
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -217,14 +238,20 @@ object Dedup {
     * Returns (doc_id, sig).
     */
   def simhashPortableSigs(docs: DataFrame, bits: Int = 60): DataFrame = {
+    // two-level aggregation: collapse duplicate (doc, token) rows FIRST
+    // (one cheap count agg), so the md5 + base-conversion and the `bits`
+    // vote aggregates run per DISTINCT token (~2.3× fewer rows on the
+    // bench corpus); votes weighted by the multiplicity are exactly the
+    // per-occurrence votes (sum is linear)
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
     // per-bit votes as `bits` parallel aggregates over ONE token explode —
     // a (doc, bit) explode would multiply the shuffle 60×; this keeps one
     // narrow row per token with map-side partial aggregation
     val votes = (0 until bits).map(i =>
-      sum((shiftrightunsigned(col("h"), i) % 2) * 2 - 1).as(s"v_$i"))
+      sum(((shiftrightunsigned(col("h"), i) % 2) * 2 - 1) * col("cnt")).as(s"v_$i"))
     toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until bits).map(i =>
@@ -498,33 +525,40 @@ object Dedup {
 
   // ---- dup-pair clustering (connected components) ---------------------------
 
-  private def symmetrize(e: DataFrame): DataFrame =
-    e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .where(col("u") =!= col("v")).distinct()
-
   /** Large-star round (Kiveris et al., "Connected Components in MapReduce
     * and Beyond"): every node u links each STRICTLY LARGER neighbor to the
     * minimum of u's closed neighborhood. Expressed as groupBy-min + join —
     * no per-node neighbor list is ever materialized, so a hub node with
     * 10^8 dup partners costs a wide aggregation, not a driver-sized array.
+    *
+    * r07 shuffle economy: the symmetrized edges are repartitioned on `u`
+    * ONCE; the groupBy-min and the join both consume that single exchange
+    * (aggregate preserves hash(u) partitioning, so the join plans no
+    * further exchange). Intermediate `distinct()`s are dropped — the
+    * round-final distinct in smallStar restores set semantics, and
+    * duplicate multiplicity is bounded (≤2× from symmetrize), so the edge
+    * SET per round — and therefore the convergence fingerprint and the
+    * final output — is unchanged. Exchanges per round: 7-8 → 3.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
-    val sym = symmetrize(e)
+  private def largeStar(e: DataFrame, p: Int): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(p, col("u"))
     val m = sym.groupBy("u").agg(min("v").as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
     sym.where(col("v") > col("u")).join(m, "u")
       .select(col("v").as("u"), col("m").as("v"))
-      .where(col("u") =!= col("v")).distinct()
+      .where(col("u") =!= col("v"))
   }
 
   /** Small-star round: orient each edge toward its larger endpoint, then
     * every node links its smaller neighbors (and itself) to the minimum of
-    * that set. Same join+groupBy shape as largeStar.
+    * that set. Same single-exchange join+groupBy shape as largeStar; the
+    * trailing distinct is the round's set-semantics barrier.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private def smallStar(e: DataFrame, p: Int): DataFrame = {
     val or = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
+      .repartition(p, col("u"))
     val m = or.groupBy("u").agg(min("v").as("m")) // m <= every small neighbor <= u
     or.join(m, "u").select(col("v").as("u"), col("m").as("v"))
       .union(m.select(col("u"), col("m").as("v")))
@@ -549,10 +583,11 @@ object Dedup {
     * left-join this result to the corpus and coalesce to doc_id.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val defaultP = spark.sessionState.conf.numShufflePartitions
     val Seq(ca, cb) = pairs.columns.take(2).toSeq
     val base = pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-    val nodes = symmetrize(base).select("u").distinct().persist()
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       // bit_xor is order-independent and cannot overflow (sum would, under
@@ -569,14 +604,31 @@ object Dedup {
     // plan-description walk — grow multiplicatively with rounds; the
     // checkpoint truncates lineage to a LogicalRDD leaf, keeping plan
     // depth O(1) across iterations (same pattern as the crawler's
-    // seen-chain). Superseded rounds' blocks are reclaimed by the
-    // ContextCleaner; round count is tiny (O(log^2 n)).
-    var edges = base.distinct().localCheckpoint()
+    // seen-chain). LAZY checkpoint (r07): the fingerprint aggregation is
+    // the single materializing pass — one job per round instead of an
+    // eager-checkpoint job plus a fingerprint job. Superseded rounds'
+    // blocks are reclaimed by the ContextCleaner; round count is tiny
+    // (O(log^2 n)).
+    var edges = base.distinct().localCheckpoint(false)
     var fp = fingerprint(edges)
+    // the first checkpointed frame doubles as the node universe (same
+    // endpoint set as the raw pairs) — deriving nodes from it keeps the
+    // final output join's lineage at the LogicalRDD leaf instead of
+    // re-running the whole upstream pair pipeline (the old persist() was
+    // released before the result was ever materialized, so the node side
+    // recomputed from scratch on every action)
+    val nodes = edges.select("u")
+      .union(edges.select(col("v").as("u"))).distinct()
     var iter = 0
     var converged = fp._1 == 0L
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // scale-adaptive round width (guide §2): the star rounds shuffle
+      // |edges| rows known exactly from the fingerprint count — size the
+      // round's exchanges from it instead of paying defaultP near-empty
+      // tasks per stage on a small graph (clusters shrink geometrically,
+      // so late rounds are always small even when round 0 is not)
+      val p = math.max(1L, math.min(defaultP.toLong, fp._1 / 500000L + 1L)).toInt
+      val next = smallStar(largeStar(edges, p), p).localCheckpoint(false)
       val nfp = fingerprint(next)
       edges = next
       converged = nfp == fp // fixpoint: both rounds changed nothing
@@ -588,10 +640,8 @@ object Dedup {
     // at the fixpoint the edge set is a star per component, rooted at the
     // component min: non-roots carry exactly (node -> root); roots carry no
     // out-edge and map to themselves
-    val out = nodes.join(edges, Seq("u"), "left")
+    nodes.join(edges, Seq("u"), "left")
       .select(col("u").as("doc_id"),
         coalesce(col("v"), col("u")).as("cluster_id"))
-    nodes.unpersist()
-    out
   }
 }

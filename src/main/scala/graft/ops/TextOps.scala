@@ -18,7 +18,7 @@ object TextOps {
     */
   def tokenCountCol(text: Column): Column =
     when(length(text) === 0, 0)
-      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+      .otherwise(length(text) - length(translate(text, " ", "")) + 1)
 
   /** BPE-ish subword count: word chars split into runs of ≤4 chars plus
     * punctuation singletons — a deterministic stand-in for a real BPE
