@@ -328,8 +328,17 @@ final class Crawler(
       retainContent = config.persistRounds).persist(
       if (config.persistRounds) org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val results = outcome.flatMap(o => Option(o._1))
-    val hostStates = outcome.flatMap(o => Option(o._2))
+    // Column-level split of the (row, state) tuple stream, NOT a typed
+    // flatMap: a flatMap re-decodes every cached fat row (spans/comments
+    // Vectors) into JVM objects and re-encodes it — and every consumer
+    // (docs write, crawl_log, metrics, next-candidates) pays that per
+    // action. The null-filter + struct projection below stays inside
+    // whole-stage codegen over the columnar cache (measured: the round
+    // commit dropped from ~16-39 s to single digits at bench scale).
+    // Tuple encoding preserves element nullness, so `_1 IS NOT NULL`
+    // selects exactly the rows Option(o._1) kept.
+    val results = outcome.where($"_1".isNotNull).select($"_1.*")
+    val hostStates = outcome.where($"_2".isNotNull).select($"_2.*")
 
     // next-round candidates: outlinks in (parent seq, link idx) order,
     // inheriting the parent's keyword (orchestrator.py:222-223 analogue)
@@ -360,7 +369,7 @@ final class Crawler(
     //    is the single materializing pass — no extra scan vs persist).
     // A lost checkpoint block fails the run instead of silently
     // recomputing — resume covers that.
-    val newState = hostStates.toDF()
+    val newState = hostStates
     val mergedState = timed(s"r$round host-state") {
       val m = (stateAcc match {
         case Some(old) => old.join(newState.select("host", "lane"), Seq("host", "lane"), "left_anti")
@@ -627,7 +636,7 @@ final class Crawler(
       math.ceil(estRows.toDouble / rowsPerFile).toLong).toInt))
 
   private def commitRound(round: Int, frontier: Dataset[FrontierEntry],
-      results: Dataset[FetchParseRow], roundStateDelta: DataFrame,
+      results: DataFrame, roundStateDelta: DataFrame,
       nextSeq: Long, frontierCount: Long, fetchedCount: Long): Unit = {
     // docs holds only status='fetched' rows, so it is sized by the round's
     // OBSERVED fetched count (executor accumulator), not the frontier
@@ -651,14 +660,18 @@ final class Crawler(
     // bank saved before the manifest: an orphan bank of an uncommitted
     // round is never read (readers resolve the bank via committed rounds).
     // Distributed parquet write of (pid, filter) rows — nothing collected.
-    bankAcc.foreach(b => DistBloomBank.save(spark, b, store.bloomPath(round)))
+    // It rides the commit's parallel write wave (the manifest still lands
+    // only after every write, bank included, has completed).
+    val bankSave: Seq[() => Unit] = bankAcc.toSeq.map(b =>
+      () => DistBloomBank.save(spark, b, store.bloomPath(round)))
 
     timed(s"r$round commit-tables") { store.commit(round,
       Map("docs" -> docs, "crawl_log" -> crawlLog, "seen" -> seen,
         "metrics" -> sizedForWrite(metrics, 1L, 1L),
         "host_state" -> sizedForWrite(roundStateDelta, lastStateCount, 500000L)),
       knownCounts = Map("seen" -> frontierCount, "crawl_log" -> frontierCount),
-      metricsJson = s"""{"next_seq":$nextSeq,"frontier":$frontierCount}""") }
+      metricsJson = s"""{"next_seq":$nextSeq,"frontier":$frontierCount}""",
+      alsoParallel = bankSave) }
   }
 }
 

@@ -46,12 +46,30 @@ final class SnapshotStore(val root: String) {
     * SURVEY §7.4.5). `knownCounts` are rows counted by the caller on
     * already-cached data; tables without one get -1 (never re-read parquet
     * just for a manifest statistic).
+    *
+    * The per-table writes (and any `alsoParallel` extra writes, e.g. the
+    * bloom bank) run CONCURRENTLY from a small driver thread pool (guide
+    * §2.6): most round tables are single-file writes whose lone task
+    * would otherwise hold the whole cluster idle in sequence — overlapped,
+    * they back-fill executors under the fat docs write. The manifest is
+    * written only after every write completes (and any failure propagates
+    * before it), so commit atomicity is unchanged.
     */
   def commit(round: Int, tables: Map[String, DataFrame],
-      knownCounts: Map[String, Long] = Map.empty, metricsJson: String = "{}"): Unit = {
-    tables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(tablePath(name, round))
-    }
+      knownCounts: Map[String, Long] = Map.empty, metricsJson: String = "{}",
+      alsoParallel: Seq[() => Unit] = Seq.empty): Unit = {
+    val writes: Seq[() => Unit] = tables.toSeq.map { case (name, df) =>
+      () => df.write.mode(SaveMode.Overwrite).parquet(tablePath(name, round))
+    } ++ alsoParallel
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(writes.size, 6)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val all = scala.concurrent.Future.sequence(
+        writes.map(w => scala.concurrent.Future(w())))
+      scala.concurrent.Await.result(all, scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     val entries = tables.keys.map { name =>
       s""""$name":{"path":"${tablePath(name, round)}","rows":${knownCounts.getOrElse(name, -1L)}}"""
     }.mkString(",")
