@@ -249,10 +249,16 @@ object SparkEntry {
     }),
     "q29_ngram_jaccard_pairs" -> ((s, d) => {
       // maxDf explicit: the DuckDB oracle is exact all-pairs (no df cap), so
-      // the engine-side inverted-index guard must be off for hash parity
+      // the engine-side inverted-index guard must be off for hash parity.
+      // joinParallelism 4×session width: the capless pair expansion is the
+      // battery's biggest stage and per-shingle df² skews it — finer
+      // partitions amortize the skew across waves (guide §2.5/§2.6;
+      // measured ~1.4× on the expansion+agg). Derived from the session
+      // conf, never a local-mode constant.
       graft.ops.Dedup.ngramJaccardPairs(
         rt(s, d, "documents").filter(graft.ops.TextOps.tokenCountCol(col("text")) >= 2),
-        shingleW = 2, threshold = 0.05, maxDf = Int.MaxValue)
+        shingleW = 2, threshold = 0.05, maxDf = Int.MaxValue,
+        joinParallelism = 4 * s.sessionState.conf.numShufflePartitions)
         .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("a"), col("b"))
     }),

@@ -75,7 +75,7 @@ object Dedup {
     // MULTISET equals min over the SET, and duplicate shingles would pay
     // k md5s each for nothing (w=1 token duplication is ~2.3× on the
     // bench corpus)
-    val exploded = docs
+    val exploded = Par.widen(docs)
       .select(col("doc_id"),
         explode(array_distinct(shingleCol(col("text"), shingleW))).as("sh"))
     val aggs = (0 until k).map(i =>
@@ -128,7 +128,7 @@ object Dedup {
     * candidate pairs — no all-pairs blowup.
     */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, shingleW: Int = 3): DataFrame = {
-    val sets = docs.select(col("doc_id"),
+    val sets = Par.widen(docs).select(col("doc_id"),
       array_distinct(shingleCol(col("text"), shingleW)).as("sh"))
     pairs.select(col("a"), col("b")).distinct()
       .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), Seq("a"))
@@ -161,7 +161,7 @@ object Dedup {
     val spark = docs.sparkSession
     val p = if (joinParallelism > 0) joinParallelism
       else spark.sessionState.conf.numShufflePartitions
-    val sets = docs.select(col("doc_id"),
+    val sets = Par.widen(docs).select(col("doc_id"),
       array_distinct(shingleCol(col("text"), shingleW)).as("sh"))
       .withColumn("setSize", size(col("sh")))
     val inv = sets.select(col("doc_id"), col("setSize"), explode(col("sh")).as("sh"))
@@ -238,20 +238,18 @@ object Dedup {
     * Returns (doc_id, sig).
     */
   def simhashPortableSigs(docs: DataFrame, bits: Int = 60): DataFrame = {
-    // two-level aggregation: collapse duplicate (doc, token) rows FIRST
-    // (one cheap count agg), so the md5 + base-conversion and the `bits`
-    // vote aggregates run per DISTINCT token (~2.3× fewer rows on the
-    // bench corpus); votes weighted by the multiplicity are exactly the
-    // per-occurrence votes (sum is linear)
-    val toks = docs.select(col("doc_id"),
+    val toks = Par.widen(docs).select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
     // per-bit votes as `bits` parallel aggregates over ONE token explode —
     // a (doc, bit) explode would multiply the shuffle 60×; this keeps one
-    // narrow row per token with map-side partial aggregation
+    // narrow row per token with map-side partial aggregation. (A
+    // dedupe-tokens-first two-level variant was measured SLOWER here and
+    // shuffles more at scale: the partial agg already reduces the shuffle
+    // to docs×bits longs per map task, smaller than the distinct
+    // (doc, token) stream it would pay an extra exchange for.)
     val votes = (0 until bits).map(i =>
-      sum(((shiftrightunsigned(col("h"), i) % 2) * 2 - 1) * col("cnt")).as(s"v_$i"))
+      sum((shiftrightunsigned(col("h"), i) % 2) * 2 - 1).as(s"v_$i"))
     toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until bits).map(i =>
@@ -299,10 +297,17 @@ object Dedup {
     val keyed = sigs.select(col("doc_id"), col("sig"), explode(array(blocks: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.q").as("q"), col("bk.key").as("key"))
       .repartition(p, col("q"), col("key"))
-    val small = Guard.observeDrops(keyed.groupBy(col("q"), col("key")).count(),
-        obs, maxBucket, label = "simhashDupPairs")
-      .filter(col("count") <= maxBucket).select(col("q"), col("key"))
-    val guarded = keyed.join(small, Seq("q", "key"))
+    // capless contract runs (maxBucket = MaxValue) skip the guard count +
+    // semi-join entirely — nothing can drop, every (q, key) would pass, and
+    // the join is a pure no-op on the result (ngramJaccardPairs pattern)
+    val guarded =
+      if (maxBucket == Int.MaxValue) keyed
+      else {
+        val small = Guard.observeDrops(keyed.groupBy(col("q"), col("key")).count(),
+            obs, maxBucket, label = "simhashDupPairs")
+          .filter(col("count") <= maxBucket).select(col("q"), col("key"))
+        keyed.join(small, Seq("q", "key"))
+      }
     val a = guarded.select(col("q"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
     val b = guarded.select(col("q"), col("key"), col("doc_id").as("b"), col("sig").as("sigb"))
     a.join(b, Seq("q", "key")).filter(col("a") < col("b"))
@@ -418,10 +423,15 @@ object Dedup {
       .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
         col("bk.q").as("q"), col("bk.key").as("key"))
       .repartition(p, col("q"), col("key"))
-    val small = Guard.observeDrops(keyed.groupBy(col("q"), col("key")).count(),
-        obs, maxBucket, label = "simhashDupPairs128")
-      .filter(col("count") <= maxBucket).select(col("q"), col("key"))
-    val guarded = keyed.join(small, Seq("q", "key"))
+    // capless runs skip the guard tier — see simhashDupPairs
+    val guarded =
+      if (maxBucket == Int.MaxValue) keyed
+      else {
+        val small = Guard.observeDrops(keyed.groupBy(col("q"), col("key")).count(),
+            obs, maxBucket, label = "simhashDupPairs128")
+          .filter(col("count") <= maxBucket).select(col("q"), col("key"))
+        keyed.join(small, Seq("q", "key"))
+      }
     val a = guarded.select(col("q"), col("key"), col("doc_id").as("a"),
       col("sig_hi").as("ha"), col("sig_lo").as("la"))
     val b = guarded.select(col("q"), col("key"), col("doc_id").as("b"),
@@ -492,7 +502,7 @@ object Dedup {
     Guard.warnIfUndersized("embeddingDupPairs", corpusSize,
       math.pow(2.0, planes), maxBucket)
     val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
-    val bucketed = embeddings.withColumn("bucket",
+    val bucketed = Par.widen(embeddings).withColumn("bucket",
         Similarity.signBucketCol(col("embedding"), dim, planes, seed))
       .repartition(p, col("bucket"))
     val small = Guard.observeDrops(bucketed.groupBy(col("bucket")).count(),

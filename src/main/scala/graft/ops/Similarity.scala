@@ -206,7 +206,7 @@ object Similarity {
     Guard.warnIfUndersized("bucketedNeighbors", corpusSize,
       math.pow(2.0, nPlanes), maxBucket)
     val p = embeddings.sparkSession.sessionState.conf.numShufflePartitions
-    val bucketed = embeddings.withColumn("bucket",
+    val bucketed = Par.widen(embeddings).withColumn("bucket",
         signBucketCol(col("embedding"), dim, nPlanes, seed))
       .repartition(p, col("bucket"))
     // degenerate-bucket guard (see Dedup.embeddingDupPairs): a hot bucket

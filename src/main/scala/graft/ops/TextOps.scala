@@ -125,7 +125,7 @@ object TextOps {
   /** Full per-document text profile in one projection. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val base = docs
+    val base = Par.widen(docs)
       .withColumn("n_tokens", tokenCountCol(t))
       .withColumn("bpe_tokens", bpeTokenCountCol(t))
       .withColumn("quality", qualityScoreCol(t))
