@@ -28,12 +28,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq ++
-  // batch-throughput collector option for bench runs (G1 is the JDK17
-  // default; Parallel often wins on allocation-heavy batch jobs)
-  (if (sys.env.contains("GRAFT_PARALLELGC")) Seq("-XX:+UseParallelGC") else Seq.empty) ++
-  // bench stability: first-touch of a large heap hits the microVM host's
-  // lazy page-provisioning slow path (observed one-off 10-15x stage
-  // stalls); pre-touching moves that cost to JVM startup
-  (if (sys.env.contains("GRAFT_PRETOUCH"))
-     Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch")
-   else Seq.empty)
+  // batch-throughput collector, DEFAULT ON since r07 (G1 is the JDK17
+  // default; Parallel measured faster on this allocation-heavy batch
+  // workload: bench crawl 20.8s -> 18.9s, battery 29.4s -> 28.6s same
+  // session ladder). GRAFT_PARALLELGC=0 restores G1.
+  (if (sys.env.get("GRAFT_PARALLELGC").contains("0")) Seq.empty
+   else Seq("-XX:+UseParallelGC")) ++
+  // run stability, DEFAULT ON since r07: first-touch of a lazily-grown
+  // heap hits the microVM host's page-provisioning slow path (observed
+  // one-off 10-15x stage stalls mid-run); pre-touching moves that cost to
+  // untimed JVM startup (bench crawl 24.4s -> 20.8s same session ladder).
+  // GRAFT_PRETOUCH=0 restores lazy heap growth.
+  (if (sys.env.get("GRAFT_PRETOUCH").contains("0")) Seq.empty
+   else Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}", "-XX:+AlwaysPreTouch"))
