@@ -471,17 +471,33 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----------------------------------------------------
 
-  /** Cosine similarity of two float-array columns as a pure Catalyst
-    * expression: zip_with product + aggregate sum (no UDF in the hot path).
-    * Accumulates in DOUBLE (float products would drift ~1e-7 — enough to
-    * flip 6-decimal roundings against any double-precision reference).
+  /** Cosine similarity of two float-array columns. Accumulates in DOUBLE
+    * (float products would drift ~1e-7 — enough to flip 6-decimal
+    * roundings against any double-precision reference).
+    *
+    * r07: a tight-loop UDF instead of the previous zip_with + aggregate
+    * construction — higher-order functions are interpreted (per-element
+    * lambda dispatch + boxing; see shingleCol), so on a quadratic
+    * pair-verify path the HOF chain was the hot spot. Summation order and
+    * the dot/(sqrt·sqrt) arithmetic are IDENTICAL (index order, double
+    * accumulate), so results are bit-for-bit the old expression's; length
+    * mismatch yields null like zip_with's null padding did.
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private val cosineU = udf { (a: Seq[Float], b: Seq[Float]) =>
+    if (a == null || b == null || a.length != b.length) None
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = a.length
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
   }
+  def cosineCol(a: Column, b: Column): Column = cosineU(a, b)
 
   /** Embedding near-dup pairs: random-hyperplane sign-bucket LSH (seeded,
     * deterministic planes), exact cosine verify within buckets.

@@ -54,16 +54,28 @@ object Similarity {
     * driver — no full sort).
     */
   def bruteForceTopK(embeddings: DataFrame, query: Seq[Double], k: Int): DataFrame = {
+    // tight-loop UDF over the previous zip_with/aggregate construction
+    // (HOFs are interpreted — see Dedup.cosineCol); same index-order
+    // double accumulation and the same dot/(vNorm·qNorm) arithmetic, so
+    // the cosine is bit-for-bit unchanged. Length mismatch yields null
+    // exactly like zip_with's null padding did.
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val q = lit(query.toArray)
-    val dot = aggregate(
-      zip_with(col("embedding"), q, (a, b) => a.cast("double") * b),
-      lit(0.0d), (acc, v) => acc + v)
-    val vNorm = sqrt(aggregate(
-      transform(col("embedding"), a => a.cast("double") * a.cast("double")),
-      lit(0.0d), (acc, v) => acc + v))
+    val qArr = query.toArray
+    val cosU = udf { (v: Seq[Float]) =>
+      if (v == null || v.length != qArr.length) None
+      else {
+        var dot = 0.0; var nn = 0.0
+        var i = 0
+        while (i < qArr.length) {
+          val x = v(i).toDouble
+          dot += x * qArr(i); nn += x * x
+          i += 1
+        }
+        Some(dot / (math.sqrt(nn) * qNorm))
+      }
+    }
     embeddings
-      .withColumn("cosine", dot / (vNorm * qNorm))
+      .withColumn("cosine", cosU(col("embedding")))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

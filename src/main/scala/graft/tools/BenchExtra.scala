@@ -42,8 +42,10 @@ object BenchExtra {
       try graft.SparkEntry.queries(indexed)(spark, sfDir).count()
       catch { case _: Throwable => () }
 
+    val useCount = args.contains("--count")
     def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+      if (useCount) { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     names.foreach { name =>
