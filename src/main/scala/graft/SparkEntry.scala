@@ -481,7 +481,7 @@ object SparkEntry {
           .otherwise(lit("")),
         when(col("doc_id") % 13 === 0,
           concat(lit(" ref 9000000"), id)).otherwise(lit("")))
-      rt(s, d, "documents")
+      graft.ops.Par.widen(rt(s, d, "documents")) // 3-regex ladder fans out
         .select(col("doc_id"), graft.ops.Corpus.redactPiiCol(aug).as("redacted"))
         .orderBy(col("doc_id"))
     }),
