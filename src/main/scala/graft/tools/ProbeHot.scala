@@ -60,8 +60,12 @@ object ProbeHot {
       val docs29 = docsRaw.filter(graft.ops.TextOps.tokenCountCol(col("text")) >= 2)
       time("q29 current (p)")(noop(graft.ops.Dedup.ngramJaccardPairs(
         docs29, 2, 0.05, maxDf = Int.MaxValue)))
+      time("q29 joinParallelism 2p")(noop(graft.ops.Dedup.ngramJaccardPairs(
+        docs29, 2, 0.05, maxDf = Int.MaxValue, joinParallelism = 2 * p)))
       time("q29 joinParallelism 4p")(noop(graft.ops.Dedup.ngramJaccardPairs(
         docs29, 2, 0.05, maxDf = Int.MaxValue, joinParallelism = 4 * p)))
+      time("q29 joinParallelism 8p")(noop(graft.ops.Dedup.ngramJaccardPairs(
+        docs29, 2, 0.05, maxDf = Int.MaxValue, joinParallelism = 8 * p)))
       // agg-in-key variant, 4p
       locally {
         val sets = docs29.select(col("doc_id"),
